@@ -1,0 +1,122 @@
+package searchspark.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import searchspark.analyze.Analyzer
+import searchspark.model.Turn
+
+/** Global scalar corpus statistics (broadcast at query time — the
+  * reference recomputes page_count per query via CTE,
+  * SearchingServiceImpl.java:240-243; we compute once per snapshot). */
+final case class CorpusStats(n: Long, avgdl: Double, totalTurns: Long, skippedBlank: Long)
+
+/** The built index, as DataFrames (persist via IceLite, or cache for
+  * tests). Replaces the reference's page/lemma/`index` MySQL tables
+  * (SURVEY.md §1.1) with columnar, partition-friendly layouts. */
+final case class BuiltIndex(
+    docs: DataFrame,        // docId, conv_id, turn_idx, role, tool, ts, text, dl
+    tf: DataFrame,          // docId, term, tf   (the uncompressed posting rows)
+    terms: DataFrame,       // term, termId, df, cf        (global dictionary)
+    termsByRole: DataFrame, // role, term, df              (scope-local df)
+    stats: CorpusStats,
+    statsByRole: Map[String, (Long, Double)]) { // role -> (N, avgdl)
+
+  def cache(): BuiltIndex = {
+    docs.cache(); tf.cache(); terms.cache(); termsByRole.cache(); this
+  }
+  def unpersist(): Unit = {
+    docs.unpersist(); tf.unpersist(); terms.unpersist(); termsByRole.unpersist()
+  }
+}
+
+/** Distributed index build — the replacement for the reference's
+  * crawl→lemmatize→row-at-a-time-upsert pipeline
+  * (Link.java:188-218 did ≥3 SQL round trips PER LEMMA OCCURRENCE; here
+  * the whole corpus is two shuffles).
+  *
+  * Dataflow (SURVEY.md §3.2):
+  *   transcripts scan
+  *     → blank filter + stable docId assignment       (DocIds, 1 range shuffle)
+  *     → analyzer projection B1–B4                    (narrow, codegen'd — no UDF)
+  *     → groupBy(docId, term).count                   (TF shuffle; partial agg
+  *                                                     makes Zipf-head terms a
+  *                                                     non-issue here: map-side
+  *                                                     combine collapses dups)
+  *     → dl per doc, df per (role, term) and global   (reuses TF, partial agg)
+  *     → terms dictionary with stable termId          (sort + zipWithIndex)
+  *
+  * Everything per-doc-length-ish is agg'd with map-side combine; the only
+  * skew-sensitive step is the posting-SEGMENT build (collect a term's
+  * in-shard postings together), which Segments.scala bounds by sharding
+  * docId ranges — a term's group can never exceed the shard size
+  * (SURVEY.md §7.5.2).
+  */
+object IndexBuild {
+
+  /** Build the index over a transcript Dataset. `partitions` sizes the
+    * range shuffle for docId assignment (≈ input split count). */
+  def build(spark: SparkSession, turns: Dataset[Turn], partitions: Int): BuiltIndex = {
+    val totalTurns = turns.count()
+    val docsRaw = DocIds.assign(spark, turns, partitions)
+
+    // B1-B4 as pure Catalyst expressions: explode raw tokens, filter
+    // B2 (short) + B3 (stop), map B4 (lemma). Whole-stage codegen'd.
+    val tok = col("tok")
+    val tf = docsRaw
+      .select(col("docId"), explode(Analyzer.tokensCol(col("text"))).as("tok"))
+      .filter(length(tok) > 1 || tok.isInCollection(Analyzer.KeepShort.toSeq.sorted))
+      .filter(!tok.isInCollection(Analyzer.Stopwords.toIndexedSeq))
+      .select(col("docId"), Analyzer.lemmaCol(tok).as("term"))
+      .groupBy(col("docId"), col("term"))
+      .agg(count(lit(1)).cast("int").as("tf"))
+
+    // doc length = Σ tf per doc; docs with zero surviving terms get dl=0
+    val dlDf = tf.groupBy("docId").agg(sum("tf").as("dl"))
+    val docs = docsRaw.join(dlDf, Seq("docId"), "left")
+      .withColumn("dl", coalesce(col("dl"), lit(0L)))
+
+    // term dictionary: df = distinct docs (tf rows are unique per
+    // (docId, term)), cf = Σ tf; termId = rank in term sort order
+    // (stable across parallelism, same zipWithIndex argument as DocIds)
+    val termAgg = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+    val termsRdd = termAgg
+      .repartitionByRange(math.max(1, partitions / 4), col("term"))
+      .sortWithinPartitions("term")
+      .rdd.zipWithIndex.map { case (r, id) =>
+        (r.getString(0), id, r.getLong(1), r.getLong(2))
+      }
+    import spark.implicits._
+    val terms = termsRdd.toDF("term", "termId", "df", "cf")
+
+    // scope-local df (reference: per-site lemma rows; ours: per-role)
+    val termsByRole = tf
+      .join(docs.select("docId", "role"), Seq("docId"))
+      .groupBy("role", "term").agg(count(lit(1)).as("df"))
+
+    val docsCached = docs.cache()
+    // avgdl = exact Long sum / count (NOT avg(): Double partial sums are
+    // order-dependent across parallelism; Long sums are exact, so this is
+    // bit-identical to the oracle and across cluster sizes)
+    val statsRow = docsCached.agg(count(lit(1)), sum("dl")).head
+    val nDocs = statsRow.getLong(0)
+    val stats = CorpusStats(nDocs,
+      if (nDocs == 0) 0.0 else statsRow.getLong(1).toDouble / nDocs,
+      totalTurns, totalTurns - nDocs)
+
+    val byRole = docsCached.groupBy("role")
+      .agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2).toDouble / r.getLong(1)))
+      .toMap
+
+    BuiltIndex(docsCached, tf, terms, termsByRole, stats, byRole)
+  }
+
+  /** Convenience: read a transcripts parquet path as Dataset[Turn]. */
+  def readTranscripts(spark: SparkSession, path: String): Dataset[Turn] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[Turn]
+  }
+}

@@ -1,0 +1,80 @@
+package searchspark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import searchspark.analyze.Analyzer
+
+/** B1–B5 golden cases (SURVEY.md §5.1) + Scala-vs-Catalyst agreement. */
+class AnalyzerSpec extends AnyFunSuite {
+
+  test("B1 tokenize: lowercase, non-alphabet → space, split") {
+    assert(Analyzer.tokenize("Hello, World! 42x").toSeq ==
+      Seq("hello", "world", "42x"))
+    assert(Analyzer.tokenize("  ").isEmpty)
+    assert(Analyzer.tokenize("").isEmpty)
+    assert(Analyzer.tokenize(null).isEmpty)
+    assert(Analyzer.tokenize("don't STOP-me").toSeq == Seq("don", "t", "stop", "me"))
+  }
+
+  test("B2 short-token filter keeps 'a'/'i' only (reference keeps 'я')") {
+    assert(!Analyzer.keepToken("x"))
+    assert(Analyzer.keepToken("a"))
+    assert(Analyzer.keepToken("i"))
+    assert(Analyzer.keepToken("ab"))
+  }
+
+  test("B3 stop filter drops prep/conj/particle classes, keeps pronouns") {
+    assert(!Analyzer.notStopword("the"))
+    assert(!Analyzer.notStopword("of"))
+    assert(!Analyzer.notStopword("and"))
+    assert(Analyzer.notStopword("i"))    // pronoun survives, like "я"
+    assert(Analyzer.notStopword("they"))
+    assert(Analyzer.notStopword("query"))
+  }
+
+  test("B4 lemmatizer rules, first match wins") {
+    assert(Analyzer.lemma("cat") == "cat")          // len<=3 untouched
+    assert(Analyzer.lemma("classes") == "class")    // sses -> ss
+    assert(Analyzer.lemma("glasses") == "glass")
+    assert(Analyzer.lemma("stories") == "story")    // ies -> y
+    assert(Analyzer.lemma("pass") == "pass")        // ss kept
+    assert(Analyzer.lemma("tables") == "table")     // s dropped
+    assert(Analyzer.lemma("running") == "runn")     // ing dropped (no undoubling — by spec)
+    assert(Analyzer.lemma("indexed") == "index")    // ed dropped
+    assert(Analyzer.lemma("red") == "red")          // too short for ed rule
+    assert(Analyzer.lemma("w1234s") == "w1234")
+    assert(Analyzer.lemma("w1234ing") == "w1234")
+    assert(Analyzer.lemma("w1234ed") == "w1234")
+    assert(Analyzer.lemma("w1234") == "w1234")
+  }
+
+  test("B5 term frequencies") {
+    val tf = Analyzer.termFreqs("Tables table the TABLE tables! i x of")
+    assert(tf == Map("table" -> 4, "i" -> 1))
+  }
+
+  test("analyzeQuery: distinct ascending") {
+    assert(Analyzer.analyzeQuery("tables query table QUERY zebra") ==
+      Seq("query", "table", "zebra"))
+  }
+
+  test("Catalyst column pipeline == pure Scala pipeline on generated text") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val texts = searchspark.gen.TranscriptGen.localCorpus(42L, 5).map(_.text) ++
+      Seq("", "   ", "Hello, World! 42x", "don't STOP-me a i x the",
+        "classes stories pass running indexed")
+    val df = texts.toDF("text")
+    val sparkSide = df.select(
+      Analyzer.tokensCol(col("text")).as("toks"))
+      .select(explode(col("toks")).as("tok"))
+      .filter(length(col("tok")) > 1 || col("tok").isInCollection(Analyzer.KeepShort.toSeq.sorted))
+      .filter(!col("tok").isInCollection(Analyzer.Stopwords.toIndexedSeq))
+      .select(Analyzer.lemmaCol(col("tok")).as("term"))
+      .as[String].collect().toSeq
+    val scalaSide = texts.flatMap(t => Analyzer.analyze(t))
+    assert(sparkSide.sorted == scalaSide.sorted)
+    assert(sparkSide == scalaSide) // order-preserving too (explode keeps order)
+  }
+}
