@@ -1,0 +1,298 @@
+package graft
+
+import searchspark.analyze.Analyzer
+
+/** DuckDB-dialect oracle SQL for every SparkEntry query (the driver runs
+  * these over the same parquet tables and hash-compares).
+  *
+  * Cross-engine determinism rules (see searchspark.ops.TextOps):
+  *  - every ratio/score is emitted as an integer-scaled BIGINT
+  *    (⌊x·10^6⌋ via integer `//`, or ⌊double·10^4⌋ via floor) — raw
+  *    doubles never cross the Spark/DuckDB comparison boundary;
+  *  - all numeric literals in floating expressions carry ::DOUBLE —
+  *    bare 0.5/1.2 parse as DECIMAL in DuckDB and DECIMAL division has
+  *    different rounding than IEEE double;
+  *  - every query ends in a full deterministic ORDER BY;
+  *  - all hashes are md5-derived (the 15-hex-char prefix as a 60-bit
+  *    int: DuckDB `('0x' || substr(md5(x),1,15))::UBIGINT` == Spark
+  *    `conv(substr(md5(x),1,15),16,10)`).
+  */
+object OracleSql {
+
+  /** Fixed search-term list for the query-side operators: "dup" is the
+    * rare marker term (df≈0.05N in the testdata documents table),
+    * "key"/"vector" are mid-df. */
+  val SearchTerms: Seq[String] = Seq("dup", "key", "vector")
+  /** Wider 2-term query for the pagination case (the 3-term conjunctive
+    * one has <20 hits at sf0.001, which would make offset=20 vacuous). */
+  val WideTerms: Seq[String] = Seq("key", "vector")
+  val ScopeLang = "en"
+  /** documents/embeddings are synthetic near-orthogonal vectors; max
+    * pairwise cosine ≈ 0.51, so 0.45 yields a small non-empty pair set. */
+  val EmbedDupThreshold = 0.45
+
+  private val stop = Analyzer.Stopwords.map(s => s"'$s'").mkString(", ")
+  private val keep = Analyzer.KeepShort.toSeq.sorted.map(s => s"'$s'").mkString(", ")
+  private val lemmaCase = Analyzer.lemmaSqlCase("tok")
+  private def inList(ts: Seq[String]) = ts.map(t => s"'$t'").mkString(", ")
+
+  /** Token/TF/doc-length CTE chain over `documents`, optionally scoped. */
+  private def cte(where: String = ""): String = {
+    val docsSrc = if (where.isEmpty) "documents" else s"(SELECT * FROM documents WHERE $where)"
+    s"""WITH docsrc AS (SELECT * FROM $docsSrc),
+       |rawtok AS (
+       |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+       |  FROM docsrc
+       |  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+       |),
+       |ftok AS (
+       |  SELECT doc_id, tok FROM rawtok
+       |  WHERE (length(tok) > 1 OR tok IN ($keep)) AND tok NOT IN ($stop)
+       |),
+       |termx AS (SELECT doc_id, $lemmaCase AS term FROM ftok),
+       |tfx AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM termx GROUP BY doc_id, term),
+       |dlx AS (
+       |  SELECT d.doc_id, coalesce(s.dl, 0)::BIGINT AS dl
+       |  FROM docsrc d LEFT JOIN (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tfx GROUP BY doc_id) s USING (doc_id)
+       |)""".stripMargin
+  }
+
+  /** Word-3-gram shingle CTE (distinct per doc), appended after cte(). */
+  private val shingCte =
+    s""",
+       |lx AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS l FROM docsrc),
+       |ix AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM lx WHERE len(l) >= 3),
+       |shing AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM ix)""".stripMargin
+
+  private def bm25Sql(where: String, k: Int, offset: Int,
+                      terms: Seq[String] = SearchTerms): String = {
+    val t = inList(terms)
+    s"""${cte(where)},
+       |nx AS (SELECT count(*)::BIGINT AS n FROM dlx),
+       |ax AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dlx),
+       |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tfx WHERE term IN ($t) GROUP BY term),
+       |surv AS (SELECT term, df FROM dfq WHERE df * 100 < 85 * (SELECT n FROM nx)),
+       |scored AS (
+       |  SELECT t.doc_id, count(*)::BIGINT AS nm,
+       |    sum( ln(1::DOUBLE + ((SELECT n FROM nx) - s.df + 0.5::DOUBLE) / (s.df + 0.5::DOUBLE))
+       |         * t.tf / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * d.dl / (SELECT avgdl FROM ax))) ) AS score
+       |  FROM tfx t JOIN surv s USING (term) JOIN dlx d USING (doc_id)
+       |  GROUP BY t.doc_id
+       |  HAVING count(*) = (SELECT count(*) FROM surv)
+       |)
+       |SELECT doc_id, floor(score * 10000)::BIGINT AS score_e4 FROM scored
+       |ORDER BY score_e4 DESC, doc_id LIMIT $k OFFSET $offset""".stripMargin
+  }
+
+  val sql: Map[String, String] = Map(
+    "b1_tokenize" ->
+      s"${cte()} SELECT doc_id, tok FROM rawtok ORDER BY doc_id, tok",
+
+    "b2b3_token_filter" ->
+      s"${cte()} SELECT doc_id, tok FROM ftok ORDER BY doc_id, tok",
+
+    "b4_lemmatize" ->
+      s"${cte()} SELECT tok, $lemmaCase AS term FROM (SELECT DISTINCT tok FROM ftok) ORDER BY tok",
+
+    "b5_tf" ->
+      s"${cte()} SELECT doc_id, term, tf FROM tfx ORDER BY doc_id, term",
+
+    "c6_doc_stats" ->
+      s"${cte()} SELECT doc_id, dl FROM dlx ORDER BY doc_id",
+
+    "q1_stopword_prune" ->
+      s"""${cte()}
+         |SELECT term, count(*)::BIGINT AS df,
+         |       (count(*) * 1000000 // (SELECT count(*) FROM documents))::BIGINT AS part_e6
+         |FROM tfx GROUP BY term
+         |HAVING count(*) * 100 < 85 * (SELECT count(*) FROM documents)
+         |ORDER BY part_e6, term""".stripMargin,
+
+    "q2_conjunctive" ->
+      s"""${cte()}
+         |SELECT doc_id FROM tfx WHERE term IN (${inList(SearchTerms)})
+         |GROUP BY doc_id HAVING count(*) = ${SearchTerms.size}
+         |ORDER BY doc_id""".stripMargin,
+
+    "q3_relevance" ->
+      s"""${cte()},
+         |cand AS (SELECT doc_id FROM tfx WHERE term IN (${inList(SearchTerms)})
+         |         GROUP BY doc_id HAVING count(*) = ${SearchTerms.size}),
+         |absx AS (SELECT doc_id, sum(tf)::BIGINT AS rel_abs FROM tfx
+         |         WHERE term IN (${inList(SearchTerms)}) AND doc_id IN (SELECT doc_id FROM cand)
+         |         GROUP BY doc_id)
+         |SELECT doc_id, rel_abs,
+         |       (rel_abs * 1000000 // (SELECT max(rel_abs) FROM absx))::BIGINT AS relevance_e6
+         |FROM absx ORDER BY rel_abs DESC, doc_id LIMIT 20""".stripMargin,
+
+    "bm25_topk" -> bm25Sql("", 20, 0),
+    "bm25_paginated" -> bm25Sql("", 20, 20, WideTerms),
+    "bm25_scoped" -> bm25Sql(s"lang = '$ScopeLang'", 20, 0),
+
+    "q6_docs_per_scope" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs FROM documents
+        |WHERE length(trim(text)) > 0 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q7_terms_per_scope" ->
+      s"""${cte()}
+         |SELECT d.lang, count(DISTINCT t.term)::BIGINT AS n_terms
+         |FROM tfx t JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "c11_statistics" ->
+      s"""${cte()},
+         |per AS (SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+         |        FROM documents GROUP BY source),
+         |ts AS (SELECT d.source, count(DISTINCT t.term)::BIGINT AS n_terms, sum(t.tf)::BIGINT AS n_tokens
+         |       FROM tfx t JOIN documents d USING (doc_id) GROUP BY d.source)
+         |SELECT per.source, per.n_docs, per.sum_chars, ts.n_terms, ts.n_tokens
+         |FROM per LEFT JOIN ts ON per.source = ts.source ORDER BY per.source""".stripMargin,
+
+    "a5_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id)::BIGINT AS keep_doc_id, count(*)::BIGINT AS n_dupes
+        |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""${cte()}
+         |SELECT doc_id, count(*)::BIGINT AS n_toks,
+         |       sum(CASE WHEN tok IN ($stop) THEN 1 ELSE 0 END)::BIGINT AS n_stop,
+         |       (sum(CASE WHEN tok IN ($stop) THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT AS stop_ratio_e6,
+         |       CASE WHEN sum(CASE WHEN tok IN ($stop) THEN 1 ELSE 0 END) * 100 >= count(*) * 5
+         |            THEN 'en' ELSE 'other' END AS pred_lang
+         |FROM rawtok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, length(text)::BIGINT AS n_chars_txt,
+        |       (length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) * 1000000 // length(text))::BIGINT AS alnum_ratio_e6,
+        |       (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000000 // length(text))::BIGINT AS digit_ratio_e6,
+        |       ((length(text) - length(regexp_replace(text, '\s', '', 'g'))) * 1000000 // length(text))::BIGINT AS ws_ratio_e6
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tokcount" ->
+      s"""${cte()}
+         |SELECT d.doc_id,
+         |       len(string_split_regex(trim(d.text), '\\s+'))::BIGINT AS ws_tokens,
+         |       ceil(length(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g')) / 4.0::DOUBLE)::BIGINT AS bpe_est,
+         |       dlx.dl AS analyzed_tokens
+         |FROM documents d JOIN dlx ON d.doc_id = dlx.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""${cte()}$shingCte
+         |SELECT doc_id, min(md5(shingle)) AS fingerprint FROM shing
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""${cte()}$shingCte,
+         |sdfx AS (SELECT shingle FROM (SELECT shingle, count(*) AS c FROM shing GROUP BY shingle)
+         |         WHERE c BETWEEN 2 AND 100),
+         |shr AS (SELECT s.doc_id, s.shingle FROM shing s JOIN sdfx USING (shingle)),
+         |szx AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shr GROUP BY doc_id),
+         |px AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS common
+         |       FROM shr x JOIN shr y USING (shingle) WHERE x.doc_id < y.doc_id
+         |       GROUP BY x.doc_id, y.doc_id)
+         |SELECT a, b, (common * 1000000 // (sa.sz + sb.sz - common))::BIGINT AS jaccard_e6
+         |FROM px JOIN szx sa ON px.a = sa.doc_id JOIN szx sb ON px.b = sb.doc_id
+         |WHERE common * 1000000 >= 500000 * (sa.sz + sb.sz - common)
+         |ORDER BY a, b""".stripMargin,
+
+    "text_minhash_sig" ->
+      s"""${cte()}$shingCte,
+         |hx AS (SELECT doc_id, i::BIGINT AS i,
+         |              min(('0x' || substr(md5(i::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT AS minh
+         |       FROM shing CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i) hs
+         |       GROUP BY doc_id, i)
+         |SELECT doc_id, i, minh FROM hx ORDER BY doc_id, i""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""${cte()}$shingCte,
+         |hx AS (SELECT doc_id, i::BIGINT AS i,
+         |              min(('0x' || substr(md5(i::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT AS minh
+         |       FROM shing CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i) hs
+         |       GROUP BY doc_id, i),
+         |bx AS (SELECT doc_id, (i // 4)::BIGINT AS band, string_agg(minh::VARCHAR, '-' ORDER BY i) AS key
+         |       FROM hx GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bx x JOIN bx y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |mx AS (SELECT c.a, c.b, sum(CASE WHEN ha.minh = hb.minh THEN 1 ELSE 0 END)::BIGINT AS matches
+         |       FROM cand c JOIN hx ha ON ha.doc_id = c.a JOIN hx hb ON hb.doc_id = c.b AND hb.i = ha.i
+         |       GROUP BY c.a, c.b)
+         |SELECT a, b, (matches * 1000000 // 12)::BIGINT AS est_sim_e6 FROM mx ORDER BY a, b""".stripMargin,
+
+    "text_simhash" ->
+      s"""${cte()},
+         |hterm AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 15))::UBIGINT::BIGINT AS h FROM tfx),
+         |sx AS (SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1))::BIGINT AS s
+         |       FROM hterm CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) js
+         |       GROUP BY doc_id, j),
+         |fpx AS (SELECT doc_id, sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS simhash
+         |        FROM sx GROUP BY doc_id)
+         |SELECT doc_id, simhash FROM fpx ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""${cte()},
+         |hterm AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 15))::UBIGINT::BIGINT AS h FROM tfx),
+         |sx AS (SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1))::BIGINT AS s
+         |       FROM hterm CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) js
+         |       GROUP BY doc_id, j),
+         |fpx AS (SELECT doc_id, sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS simhash
+         |        FROM sx GROUP BY doc_id)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |       bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+         |FROM fpx x JOIN fpx y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+         |ORDER BY a, b""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |),
+        |nn AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS norm FROM n),
+        |q AS (SELECT v, norm FROM nn WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |       floor(list_inner_product(v, (SELECT v FROM q)) / (norm * (SELECT norm FROM q)) * 10000)::BIGINT AS cos_e4
+        |FROM nn WHERE vec_id <> 0
+        |ORDER BY cos_e4 DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ann_ivf" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |),
+        |nn AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS norm FROM n),
+        |c AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM nn WHERE vec_id < 8),
+        |sc AS (SELECT nn.vec_id, c.cid,
+        |              floor(list_inner_product(nn.v, c.cv) / (nn.norm * c.cnorm) * 1000000)::BIGINT AS cos_c
+        |       FROM nn CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid AS cluster FROM
+        |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS rn FROM sc)
+        |        WHERE rn = 1),
+        |probes AS (SELECT cid AS cluster FROM
+        |           (SELECT cid, row_number() OVER (ORDER BY cos_c DESC, cid) AS rn FROM sc WHERE vec_id = 0)
+        |           WHERE rn <= 2),
+        |ids AS (SELECT vec_id FROM asg JOIN probes USING (cluster) WHERE vec_id <> 0),
+        |q AS (SELECT v, norm FROM nn WHERE vec_id = 0)
+        |SELECT nn.vec_id, nn.label,
+        |       floor(list_inner_product(nn.v, (SELECT v FROM q)) / (nn.norm * (SELECT norm FROM q)) * 10000)::BIGINT AS cos_e4
+        |FROM nn JOIN ids USING (vec_id)
+        |ORDER BY cos_e4 DESC, vec_id LIMIT 10""".stripMargin,
+
+    "dedup_embed_cosine" ->
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |),
+        |nn AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM n)
+        |SELECT x.vec_id AS a, y.vec_id AS b,
+        |       floor(list_inner_product(x.v, y.v) / (x.norm * y.norm) * 10000)::BIGINT AS cos_e4
+        |FROM nn x JOIN nn y ON x.vec_id < y.vec_id
+        |WHERE floor(list_inner_product(x.v, y.v) / (x.norm * y.norm) * 10000) >= 4500
+        |ORDER BY a, b""".stripMargin,
+
+    "media_meta" ->
+      """SELECT doc_id, strlen(text)::BIGINT AS n_bytes, ascii(substr(text, 1, 1))::INT AS first_byte,
+        |       'txt' AS fmt
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

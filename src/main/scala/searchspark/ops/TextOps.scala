@@ -1,0 +1,261 @@
+package searchspark.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import searchspark.analyze.Analyzer
+import searchspark.query.Scoring
+
+/** The engine's relational stages re-expressed over the driver-provided
+  * `documents(doc_id, text, lang, source, n_chars)` table — each stage is
+  * a `graft.SparkEntry.queries` entry cross-checked against DuckDB SQL
+  * (graft.OracleSql) by the round driver. SURVEY.md §2 rows cited per op.
+  *
+  * All plans are pure Catalyst (no UDFs): token pipeline is codegen'd,
+  * aggregations get map-side partial agg, every query ends in a
+  * deterministic ORDER BY so Spark and DuckDB emit comparable row sets.
+  */
+object TextOps {
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** B1: raw token stream. */
+  def tokensRaw(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(Analyzer.tokensCol(col("text"))).as("tok"))
+
+  /** B2+B3: filtered token stream. */
+  def tokensFiltered(docs: DataFrame): DataFrame = {
+    val tok = col("tok")
+    tokensRaw(docs)
+      .filter(length(tok) > 1 || tok.isInCollection(Analyzer.KeepShort.toSeq.sorted))
+      .filter(!tok.isInCollection(Analyzer.Stopwords.toIndexedSeq))
+  }
+
+  /** B4: distinct token → lemma mapping over the corpus vocabulary. */
+  def lemmaMapping(docs: DataFrame): DataFrame =
+    tokensFiltered(docs).select(col("tok")).distinct()
+      .select(col("tok"), Analyzer.lemmaCol(col("tok")).as("term"))
+      .orderBy("tok")
+
+  /** B5 / C5: per-(doc, term) TF — the reference's `index` table rows
+    * (rank = tf × 1.0 single-zone weight, Link.java:92-96). */
+  def tf(docs: DataFrame): DataFrame =
+    tokensFiltered(docs)
+      .select(col("doc_id"), Analyzer.lemmaCol(col("tok")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** C6: doc length (tokens surviving analysis). Docs with zero surviving
+    * terms keep dl=0 via left join. */
+  def docLengths(docs: DataFrame): DataFrame =
+    docs.select("doc_id")
+      .join(tf(docs).groupBy("doc_id").agg(sum("tf").as("dl")), Seq("doc_id"), "left")
+      .withColumn("dl", coalesce(col("dl"), lit(0L)))
+
+  /** Q1: term dictionary with df and the stopword-threshold part
+    * (SearchingServiceImpl.java:235-257): part = df/N, HAVING part < 0.85.
+    * `part_e6` = ⌊df·10^6/N⌋ in pure integer arithmetic and the 0.85
+    * predicate as df·100 < 85·N — bit-exact across engines (doubles
+    * never cross the Spark/DuckDB boundary; same convention below). */
+  def stopwordPrune(docs: DataFrame, nDocs: Long): DataFrame =
+    tf(docs).groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("part_e6", expr(s"df * 1000000 div ${nDocs}"))
+      .filter(col("df") * 100 < lit(85L) * nDocs)
+      .select("term", "df", "part_e6")
+      .orderBy("part_e6", "term")
+
+  /** Q2: conjunctive AND intersection — docs containing ALL query terms
+    * (SearchingServiceImpl.java:181-213, iterated IN-list semi-joins
+    * collapsed into one hash-agg). */
+  def conjunctive(docs: DataFrame, terms: Seq[String]): DataFrame =
+    tf(docs).filter(col("term").isInCollection(terms))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === terms.size)
+      .select("doc_id").orderBy("doc_id")
+
+  /** Q3: reference relevance — absolute = Σ rank (=tf) over query terms
+    * on the conjunctive candidates, relative = r/max, ORDER BY DESC
+    * LIMIT (SearchingServiceImpl.java:103-133). All-integer sums, so
+    * exact cross-engine equality; only the final ratio is rounded. */
+  def relevance(docs: DataFrame, terms: Seq[String], limit: Int): DataFrame = {
+    val cand = conjunctive(docs, terms)
+    val abs = tf(docs).filter(col("term").isInCollection(terms))
+      .join(cand, Seq("doc_id"))
+      .groupBy("doc_id").agg(sum("tf").as("rel_abs"))
+    val mx = abs.agg(max("rel_abs")).head.getLong(0)
+    abs.withColumn("relevance_e6", expr(s"rel_abs * 1000000 div $mx"))
+      .orderBy(col("rel_abs").desc, col("doc_id").asc)
+      .limit(limit)
+  }
+
+  /** BM25 partial column — arithmetic-order-identical to Scoring.partial
+    * and to the SQL form in graft.OracleSql. */
+  private def bm25Partial(idfCol: Column, avgdl: Double): Column = {
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    idfCol * tfD / (tfD + lit(Scoring.K1) *
+      (lit(1.0 - Scoring.B) + lit(Scoring.B) * dlD / lit(avgdl)))
+  }
+
+  /** Full BM25 top-k (§7.4 scoring spec) with conjunctive semantics over
+    * `documents`, optional scope filter on a column (role-analog:
+    * `lang`, mirroring the reference's site param,
+    * SearchingServiceImpl.java:52). Scores rounded to 4dp; ordering is
+    * on the ROUNDED score + doc_id so Spark and DuckDB rank identically
+    * even if ln() differs in the last ulp. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int, offset: Int = 0,
+               scopeLang: Option[String] = None): DataFrame = {
+    val scoped = scopeLang.map(l => docs.filter(col("lang") === l)).getOrElse(docs)
+    val t = tf(scoped)
+    val dls = docLengths(scoped)
+    val statsRow = dls.agg(count(lit(1)), sum("dl")).head
+    val n = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / n
+    val dfRows = t.filter(col("term").isInCollection(terms))
+      .groupBy("term").agg(count(lit(1)).as("df")).collect()
+    val dfMap = dfRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val surviving = terms.sorted
+      .filter(x => dfMap.getOrElse(x, 0L) > 0)
+      .filter(x => dfMap(x).toDouble / n < Scoring.PruneThreshold)
+    val idfCol = surviving.foldLeft(lit(0.0)) { (acc, x) =>
+      when(col("term") === x, lit(Scoring.idf(dfMap(x), n))).otherwise(acc)
+    }
+    t.filter(col("term").isInCollection(surviving))
+      .join(dls, Seq("doc_id"))
+      .withColumn("partial", bm25Partial(idfCol, avgdl))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nm"),
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("partial")))),
+          lit(0.0), (a, x) => a + x.getField("partial")).as("score"))
+      .filter(col("nm") === surviving.size)
+      .withColumn("score_e4", floor(col("score") * 10000.0).cast("long"))
+      .select("doc_id", "score_e4")
+      .orderBy(col("score_e4").desc, col("doc_id").asc)
+      .offset(offset).limit(k)
+  }
+
+  /** Q6: doc counts per scope (reference countByPortal with code=200
+    * filter, PageRepository.java:14-15; blank-text = failed fetch). */
+  def docsPerScope(docs: DataFrame): DataFrame =
+    docs.filter(length(trim(col("text"))) > 0)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  /** Q7: distinct-term counts per scope (LemmaRepository countByPortal). */
+  def termsPerScope(docs: DataFrame): DataFrame =
+    tf(docs).join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang").agg(countDistinct(col("term")).as("n_terms"))
+      .orderBy("lang")
+
+  /** C11: statistics rollup per source (StatisticsServiceImpl.java:34-75:
+    * per site pages+lemmas, plus totals row — here one row per source). */
+  def statistics(docs: DataFrame): DataFrame = {
+    val t = tf(docs).join(docs.select("doc_id", "source"), Seq("doc_id"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"))
+      .join(t.groupBy("source").agg(countDistinct(col("term")).as("n_terms"),
+          sum("tf").as("n_tokens")), Seq("source"), "left")
+      .orderBy("source")
+  }
+
+  /** A5/C1: exact dedup — keep the min doc_id per distinct text (md5
+    * identity), the batch analog of the reference's (site,path) upsert
+    * dedup (Link.java:172-186). */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h").agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_dupes"))
+      .orderBy("keep_doc_id")
+
+  /** Language-ID heuristic: stopword-hit ratio over raw tokens (an
+    * n-gram-free stand-in suited to the synthetic corpus; the operator
+    * shape — scan, per-doc ratio, threshold label — is the scale part). */
+  def langId(docs: DataFrame): DataFrame = {
+    val tok = col("tok")
+    tokensRaw(docs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(tok.isInCollection(Analyzer.Stopwords.toIndexedSeq), 1L).otherwise(0L)).as("n_stop"))
+      .withColumn("stop_ratio_e6", expr("n_stop * 1000000 div n_toks"))
+      .withColumn("pred_lang",
+        when(col("n_stop") * 100 >= col("n_toks") * 5, lit("en")).otherwise(lit("other")))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/token/digit/char-class signals per doc. */
+  def quality(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val nChars = length(t)
+    val nAlnum = length(regexp_replace(lower(t), "[^a-z0-9]", ""))
+    val nDigit = length(regexp_replace(t, "[^0-9]", ""))
+    val nWs = length(t) - length(regexp_replace(t, "\\s", ""))
+    docs.select(col("doc_id"), nChars.cast("long").as("n_chars_txt"),
+        nAlnum.cast("long").as("na"), nDigit.cast("long").as("nd"), nWs.cast("long").as("nw"))
+      .select(col("doc_id"), col("n_chars_txt"),
+        expr("na * 1000000 div n_chars_txt").as("alnum_ratio_e6"),
+        expr("nd * 1000000 div n_chars_txt").as("digit_ratio_e6"),
+        expr("nw * 1000000 div n_chars_txt").as("ws_ratio_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens vs analyzer tokens vs a BPE-ish
+    * sub-token estimate (ceil(alnum_chars / 4) — the "~4 chars per
+    * token" rule of thumb, deterministic and SQL-expressible). */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val wsToks = size(split(trim(col("text")), "\\s+"))
+    val alnum = length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+    docs.select(col("doc_id"), wsToks.cast("long").as("ws_tokens"),
+        ceil(alnum.cast("double") / 4.0).cast("long").as("bpe_est"))
+      .join(tf(docs).groupBy("doc_id").agg(sum("tf").as("analyzed_tokens")),
+        Seq("doc_id"), "left")
+      .withColumn("analyzed_tokens", coalesce(col("analyzed_tokens"), lit(0L)))
+      .orderBy("doc_id")
+  }
+
+  /** Word k-gram shingles of each doc, distinct per doc. */
+  def shingles(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"), Analyzer.tokensCol(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))"))
+        .as("shingle"))
+      .distinct()
+
+  /** Document fingerprint: min md5 over the doc's shingles (winnowing
+    * with window = whole doc; pure string order, no numeric-hash parity
+    * issues across engines). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    shingles(docs).select(col("doc_id"), md5(col("shingle")).as("h"))
+      .groupBy("doc_id").agg(min("h").as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** N-gram Jaccard near-dup pairs: candidate pairs via shared shingle
+    * (df-capped to bound the self-join fan-out — standard trick; cap is
+    * part of the operator contract), then exact |∩|/|∪| ≥ threshold.
+    * At 100 TB this is the same plan: shingle join is shuffle-on-shingle
+    * with the cap keeping the hottest keys out. */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.5, dfCap: Int = 100): DataFrame = {
+    val sh = shingles(docs)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+      .filter(col("sdf") <= dfCap && col("sdf") >= 2)
+    // Jaccard over the df∈[2,cap] shingle subspace — ubiquitous shingles
+    // carry no near-dup signal and uncapped they make the self-join
+    // quadratic in the hottest key; the SQL oracle applies the same cap.
+    val shRare = sh.join(rare.select("shingle"), Seq("shingle"))
+    val sizes = shRare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = shRare
+      .select(col("doc_id").as("a"), col("shingle"))
+      .join(shRare.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    val thrE6 = math.round(threshold * 1e6)
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), Seq("a"))
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), Seq("b"))
+      .withColumn("union_sz", col("sza") + col("szb") - col("common"))
+      .withColumn("jaccard_e6", expr("common * 1000000 div union_sz"))
+      .filter(col("common") * 1000000L >= lit(thrE6) * col("union_sz"))
+      .select("a", "b", "jaccard_e6")
+      .orderBy("a", "b")
+  }
+}
