@@ -1,0 +1,63 @@
+package searchspark.index
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import searchspark.model.TermPostings
+import searchspark.query.Scoring
+
+/** Row shape feeding the segment encoder. */
+final case class PostingRowFlat(
+    shard: Int, termId: Long, term: String, df: Long,
+    docId: Long, tf: Int, dl: Long)
+
+/** The compressed, sharded posting-list index (SURVEY.md §3.2 build
+  * dataflow): shard = docId range (docId / shardSize), so
+  *  - a term's per-shard group can never exceed shardSize postings —
+  *    the Zipf-head skew bound (SURVEY.md §7.5.2): the "salt" is the doc
+  *    range itself, and no term group blows up no matter how hot;
+  *  - query-time intersection is shard-local: each shard holds a full
+  *    conjunctive sub-problem, so top-k is per-shard WAND + a driver
+  *    merge of ≤ (offset+limit) rows per shard — scatter-gather with no
+  *    data shuffle (the only moved bytes are the |q| posting rows per
+  *    shard and the merged tops).
+  *
+  * At 10^12 turns: shardSize ~2^20 → ~10^6 shards; per-(shard,term)
+  * encode groups stay ≤ 2^20 entries; the postings table is written
+  * sorted by (termId) within files so a query's isin(termIds) prunes
+  * row groups (min/max stats) before any decode.
+  */
+object PostingIndex {
+
+  /** Default shard size tuned for the test corpora; at cluster scale
+    * pick ~2^20 (see class doc). */
+  val DefaultShardSize = 4096
+
+  /** Build compressed posting segments from the relational index.
+    * Everything distributed: one join tf⋈dl⋈terms, one groupBy on
+    * (shard, termId) whose group size is bounded by shardSize. */
+  def build(spark: SparkSession, idx: BuiltIndex,
+            shardSize: Int = DefaultShardSize): Dataset[TermPostings] = {
+    import spark.implicits._
+    val n = idx.stats.n
+    val avgdl = idx.stats.avgdl
+    val rows = idx.tf
+      .join(idx.docs.select(col("docId"), col("dl")), Seq("docId"))
+      .join(idx.terms.select(col("term"), col("termId"), col("df")), Seq("term"))
+      .select(
+        (col("docId") / shardSize).cast("int").as("shard"),
+        col("termId"), col("term"), col("df"),
+        col("docId"), col("tf").cast("int").as("tf"), col("dl"))
+      .as[PostingRowFlat]
+    rows.groupByKey(r => (r.shard, r.termId))
+      .mapGroups { (key: (Int, Long), it: Iterator[PostingRowFlat]) =>
+        val (shard, termId) = key
+        val buf = it.toArray
+        java.util.Arrays.sort(buf, Ordering.by((r: PostingRowFlat) => r.docId))
+        val idfT = Scoring.idf(buf.head.df, n)
+        val blocks = Segments.encode(
+          buf.map(_.docId), buf.map(_.tf), buf.map(_.dl), idfT, avgdl)
+        TermPostings(shard, termId, buf.head.term, buf.head.df, blocks)
+      }
+  }
+}

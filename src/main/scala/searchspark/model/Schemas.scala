@@ -42,15 +42,17 @@ final case class TermStats(termId: Long, term: String, df: Long, cf: Long)
 
 /** One compressed posting block: up to `count` postings for one term
   * within one shard, docIds delta+varint encoded relative to `firstDoc`,
-  * tfs varint encoded. `maxScore` = max BM25 partial of this term over
-  * the block's docs (block-max WAND bound). */
+  * tfs and dls (doc lengths, needed for the BM25 partial at query time)
+  * varint encoded. `maxScore` = max BM25 partial of this term over the
+  * block's docs (block-max WAND bound). */
 final case class PostingBlock(
     firstDoc: Long,
     lastDoc: Long,
     count: Int,
     maxScore: Double,
     docs: Array[Byte],
-    tfs: Array[Byte])
+    tfs: Array[Byte],
+    dls: Array[Byte])
 
 /** Posting list of one term within one doc-range shard. Shards are
   * docId ranges (docId / shardSize), so query-time intersection is

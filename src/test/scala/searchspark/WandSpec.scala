@@ -1,0 +1,52 @@
+package searchspark
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import searchspark.gen.TranscriptGen
+import searchspark.index.{IndexBuild, PostingIndex}
+import searchspark.oracle.ScalarOracle
+import searchspark.query.Wand
+
+/** The WAND engine path must be rank-identical to the oracle too —
+  * same gate as RankIdentitySpec but through compressed segments +
+  * per-shard block-max scan + driver merge. */
+class WandSpec extends AnyFunSuite {
+
+  private lazy val turns = QueryFixtures.corpus(TranscriptGen.UnitConvs * 4)
+  private lazy val oracle = new ScalarOracle(turns)
+  private lazy val spark = TestSpark.spark
+  private lazy val idx = {
+    import spark.implicits._
+    IndexBuild.build(spark, spark.createDataset(turns), partitions = 4).cache()
+  }
+  private lazy val postings = PostingIndex.build(spark, idx, shardSize = 512).cache()
+
+  test("segment build covers every term exactly once per shard") {
+    import spark.implicits._
+    val perTerm = postings.groupByKey(p => (p.shard, p.termId)).count().collect()
+    assert(perTerm.forall(_._2 == 1))
+    // total postings across segments == tf row count
+    val totalPostings = postings.collect().map(_.blocks.map(_.count).sum.toLong).sum
+    assert(totalPostings == idx.tf.count())
+  }
+
+  test("WAND is rank-identical to the oracle on the query set (unscoped)") {
+    val spec = new RankIdentitySpec
+    QueryFixtures.deriveQueries(oracle).filter(_.scope.isEmpty).foreach { q =>
+      val expect = oracle.search(q.query, None, q.offset, q.limit)
+      val engine = Wand.search(spark, idx, postings, q.query, q.offset, q.limit)
+      spec.assertSame("wand-" + q.id, engine, expect)
+    }
+  }
+
+  test("WAND agrees at different shard sizes (shard layout is invisible)") {
+    val p2 = PostingIndex.build(spark, idx, shardSize = 64).cache()
+    try {
+      val q = QueryFixtures.deriveQueries(oracle).find(_.id == "q11").get
+      val a = Wand.search(spark, idx, postings, q.query, q.offset, q.limit)
+      val b = Wand.search(spark, idx, p2, q.query, q.offset, q.limit)
+      assert(a.count == b.count)
+      assert(a.hits.map(h => (h.docId, h.score)) == b.hits.map(h => (h.docId, h.score)))
+    } finally p2.unpersist()
+  }
+}
