@@ -1,0 +1,191 @@
+package searchspark.index
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import searchspark.model.{TermPostings, Turn}
+
+/** Checkpointed, resumable index build (SURVEY.md §7.5.3; the batch
+  * replacement for the reference's INDEXING→INDEXED/FAILED site
+  * lifecycle + stop/resume flow,
+  * /root/reference/src/main/java/searchengine/services/IndexingServiceImpl.java:91-127).
+  *
+  * The build is a linear DAG of stages, each committing an IceLite
+  * snapshot and then recording itself in `build_manifest.json`
+  * (atomic-rename update). A re-run with the same `inputId` + params
+  * skips every stage whose manifest record matches and whose output
+  * table has a readable snapshot — so a killed build resumes from the
+  * first missing stage and produces an index row-identical to a cold
+  * build (ResumeSpec proves it; with deterministic docIds/termIds the
+  * content doesn't depend on which run produced which stage).
+  *
+  * Stage graph:
+  * {{{
+  *   docs_raw   stable docId assignment over non-blank turns
+  *   tf         analyzer projection + TF agg
+  *   docs       dl join
+  *   terms      global dictionary (termId, df, cf)
+  *   terms_by_role  scope-local df
+  *   stats      scalar stats JSON (n, avgdl, blanks, per-role)
+  *   postings   compressed sharded segments
+  * }}}
+  */
+object BuildPipeline {
+
+  final case class StageRecord(
+      stage: String, fingerprint: String, table: String,
+      rows: Long, elapsedMs: Long, status: String)
+
+  final case class Manifest(
+      inputId: String,
+      params: Map[String, String],
+      stages: Map[String, StageRecord])
+
+  /** Thrown by the fault-injection hook (resume tests / C8 stop). */
+  final class InjectedFailure(stage: String)
+    extends RuntimeException(s"injected failure after stage $stage")
+
+  private val mapper = new ObjectMapper()
+  mapper.registerModule(DefaultScalaModule)
+  mapper.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+
+  private val stringMapRef =
+    new com.fasterxml.jackson.core.`type`.TypeReference[Map[String, String]] {}
+
+  private def manifestPath(root: String) = Paths.get(root, "build_manifest.json")
+
+  def readManifest(root: String): Option[Manifest] = {
+    val p = manifestPath(root)
+    if (!Files.exists(p)) None
+    else Some(mapper.readValue(p.toFile, classOf[Manifest]))
+  }
+
+  private def writeManifest(root: String, m: Manifest): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, "build_manifest.json.tmp")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
+    Files.move(tmp, manifestPath(root),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  final case class BuildReport(
+      ranStages: Seq[String], skippedStages: Seq[String], totalRows: Long)
+
+  /** Run (or resume) the build into `root`. `failAfter` injects a crash
+    * after the named stage commits — the resume-test hook. */
+  def run(spark: SparkSession, turns: Dataset[Turn], root: String,
+          inputId: String, partitions: Int,
+          shardSize: Int = PostingIndex.DefaultShardSize,
+          failAfter: Option[String] = None): BuildReport = {
+    val params = Map("partitions" -> partitions.toString,
+      "shardSize" -> shardSize.toString, "codec" -> "delta-varint-v1")
+    val fp = s"$inputId|${params.toSeq.sorted.mkString(",")}"
+
+    var manifest = readManifest(root) match {
+      case Some(m) if m.inputId == inputId && m.params == params => m
+      case _ => Manifest(inputId, params, Map.empty) // params changed → full rebuild
+    }
+    val ran = Seq.newBuilder[String]
+    val skipped = Seq.newBuilder[String]
+
+    def table(name: String) = Paths.get(root, name).toString
+
+    /** Run one stage unless its checkpoint is valid. */
+    def stage(name: String)(body: => Long): Unit = {
+      val ok = manifest.stages.get(name).exists(r =>
+        r.fingerprint == fp && r.status == "done" &&
+          (IceLite.currentSnapshot(table(name)).isDefined || r.table.isEmpty))
+      if (ok) { skipped += name }
+      else {
+        val t0 = System.nanoTime()
+        val rows = body
+        val rec = StageRecord(name, fp,
+          if (Files.exists(Paths.get(table(name), "metadata"))) table(name) else "",
+          rows, (System.nanoTime() - t0) / 1000000, "done")
+        manifest = manifest.copy(stages = manifest.stages + (name -> rec))
+        writeManifest(root, manifest)
+        ran += name
+      }
+      if (failAfter.contains(name)) throw new InjectedFailure(name)
+    }
+
+    var total = 0L
+    stage("docs_raw") {
+      val totalTurns = turns.count()
+      val docsRaw = DocIds.assign(spark, turns, partitions)
+      val snap = IceLite.commit(spark, docsRaw, table("docs_raw"),
+        props = Map("totalTurns" -> totalTurns.toString))
+      snap.totalRows
+    }
+
+    lazy val docsRaw = IceLite.read(spark, table("docs_raw"))
+    stage("tf") {
+      IceLite.commit(spark, IndexBuild.tfFromDocs(docsRaw), table("tf")).totalRows
+    }
+
+    lazy val tf = IceLite.read(spark, table("tf"))
+    stage("docs") {
+      IceLite.commit(spark, IndexBuild.docsWithDl(docsRaw, tf), table("docs")).totalRows
+    }
+    stage("terms") {
+      IceLite.commit(spark, IndexBuild.termDict(spark, tf, partitions), table("terms")).totalRows
+    }
+    lazy val docs = IceLite.read(spark, table("docs"))
+    stage("terms_by_role") {
+      IceLite.commit(spark, IndexBuild.termsByRole(tf, docs), table("terms_by_role")).totalRows
+    }
+    stage("stats") {
+      val totalTurns = IceLite.currentSnapshot(table("docs_raw"))
+        .flatMap(_.props.get("totalTurns")).map(_.toLong).getOrElse(0L)
+      val (stats, byRole) = IndexBuild.corpusStats(docs, totalTurns)
+      val payload = Map(
+        "n" -> stats.n.toString, "avgdl" -> stats.avgdl.toString,
+        "totalTurns" -> stats.totalTurns.toString,
+        "skippedBlank" -> stats.skippedBlank.toString) ++
+        byRole.map { case (r, (n, a)) => s"role.$r" -> s"$n:$a" }
+      val tmp = Paths.get(root, "stats.json.tmp")
+      Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(payload))
+      Files.move(tmp, Paths.get(root, "stats.json"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      stats.n
+    }
+    stage("postings") {
+      val idx = loadRelational(spark, root)
+      val segs = PostingIndex.build(spark, idx, shardSize)
+      IceLite.commit(spark, segs.toDF(), table("postings")).totalRows
+    }
+
+    total = manifest.stages.get("docs").map(_.rows).getOrElse(0L)
+    BuildReport(ran.result(), skipped.result(), total)
+  }
+
+  /** Load the relational index tables from a build root. */
+  def loadRelational(spark: SparkSession, root: String): BuiltIndex = {
+    def table(name: String) = Paths.get(root, name).toString
+    val statsMap: Map[String, String] =
+      mapper.readValue(Paths.get(root, "stats.json").toFile, stringMapRef)
+    val stats = CorpusStats(statsMap("n").toLong, statsMap("avgdl").toDouble,
+      statsMap("totalTurns").toLong, statsMap("skippedBlank").toLong)
+    val byRole = statsMap.collect { case (k, v) if k.startsWith("role.") =>
+      val Array(n, a) = v.split(":")
+      k.stripPrefix("role.") -> (n.toLong, a.toDouble)
+    }
+    BuiltIndex(
+      IceLite.read(spark, table("docs")),
+      IceLite.read(spark, table("tf")),
+      IceLite.read(spark, table("terms")),
+      IceLite.read(spark, table("terms_by_role")),
+      stats, byRole)
+  }
+
+  /** Load the compressed posting segments from a build root. */
+  def loadPostings(spark: SparkSession, root: String): Dataset[TermPostings] = {
+    import spark.implicits._
+    IceLite.read(spark, Paths.get(root, "postings").toString).as[TermPostings]
+  }
+}

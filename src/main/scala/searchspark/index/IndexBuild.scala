@@ -54,31 +54,31 @@ final case class BuiltIndex(
   */
 object IndexBuild {
 
-  /** Build the index over a transcript Dataset. `partitions` sizes the
-    * range shuffle for docId assignment (≈ input split count). */
-  def build(spark: SparkSession, turns: Dataset[Turn], partitions: Int): BuiltIndex = {
-    val totalTurns = turns.count()
-    val docsRaw = DocIds.assign(spark, turns, partitions)
-
-    // B1-B4 as pure Catalyst expressions: explode raw tokens, filter
-    // B2 (short) + B3 (stop), map B4 (lemma). Whole-stage codegen'd.
+  /** Stage: analyzer projection + TF aggregation over assigned docs.
+    * B1-B4 as pure Catalyst expressions: explode raw tokens, filter
+    * B2 (short) + B3 (stop), map B4 (lemma). Whole-stage codegen'd. */
+  def tfFromDocs(docsRaw: DataFrame): DataFrame = {
     val tok = col("tok")
-    val tf = docsRaw
+    docsRaw
       .select(col("docId"), explode(Analyzer.tokensCol(col("text"))).as("tok"))
       .filter(length(tok) > 1 || tok.isInCollection(Analyzer.KeepShort.toSeq.sorted))
       .filter(!tok.isInCollection(Analyzer.Stopwords.toIndexedSeq))
       .select(col("docId"), Analyzer.lemmaCol(tok).as("term"))
       .groupBy(col("docId"), col("term"))
       .agg(count(lit(1)).cast("int").as("tf"))
+  }
 
-    // doc length = Σ tf per doc; docs with zero surviving terms get dl=0
+  /** Stage: doc length = Σ tf per doc; zero-term docs get dl=0. */
+  def docsWithDl(docsRaw: DataFrame, tf: DataFrame): DataFrame = {
     val dlDf = tf.groupBy("docId").agg(sum("tf").as("dl"))
-    val docs = docsRaw.join(dlDf, Seq("docId"), "left")
+    docsRaw.join(dlDf, Seq("docId"), "left")
       .withColumn("dl", coalesce(col("dl"), lit(0L)))
+  }
 
-    // term dictionary: df = distinct docs (tf rows are unique per
-    // (docId, term)), cf = Σ tf; termId = rank in term sort order
-    // (stable across parallelism, same zipWithIndex argument as DocIds)
+  /** Stage: term dictionary — df = distinct docs (tf rows are unique per
+    * (docId, term)), cf = Σ tf; termId = rank in term sort order
+    * (stable across parallelism, same zipWithIndex argument as DocIds). */
+  def termDict(spark: SparkSession, tf: DataFrame, partitions: Int): DataFrame = {
     val termAgg = tf.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
     val termsRdd = termAgg
@@ -88,30 +88,46 @@ object IndexBuild {
         (r.getString(0), id, r.getLong(1), r.getLong(2))
       }
     import spark.implicits._
-    val terms = termsRdd.toDF("term", "termId", "df", "cf")
+    termsRdd.toDF("term", "termId", "df", "cf")
+  }
 
-    // scope-local df (reference: per-site lemma rows; ours: per-role)
-    val termsByRole = tf
-      .join(docs.select("docId", "role"), Seq("docId"))
+  /** Stage: scope-local df (reference: per-site lemma rows; per-role). */
+  def termsByRole(tf: DataFrame, docs: DataFrame): DataFrame =
+    tf.join(docs.select("docId", "role"), Seq("docId"))
       .groupBy("role", "term").agg(count(lit(1)).as("df"))
 
+  /** Build the index over a transcript Dataset. `partitions` sizes the
+    * range shuffle for docId assignment (≈ input split count). */
+  def build(spark: SparkSession, turns: Dataset[Turn], partitions: Int): BuiltIndex = {
+    val totalTurns = turns.count()
+    val docsRaw = DocIds.assign(spark, turns, partitions)
+    val tf = tfFromDocs(docsRaw)
+    val docs = docsWithDl(docsRaw, tf)
+    val terms = termDict(spark, tf, partitions)
+    val byRoleDf = termsByRole(tf, docs)
+
     val docsCached = docs.cache()
-    // avgdl = exact Long sum / count (NOT avg(): Double partial sums are
-    // order-dependent across parallelism; Long sums are exact, so this is
-    // bit-identical to the oracle and across cluster sizes)
-    val statsRow = docsCached.agg(count(lit(1)), sum("dl")).head
+    val (stats, byRole) = corpusStats(docsCached, totalTurns)
+    BuiltIndex(docsCached, tf, terms, byRoleDf, stats, byRole)
+  }
+
+  /** Global + per-role scalar stats. avgdl = exact Long sum / count (NOT
+    * avg(): Double partial sums are order-dependent across parallelism;
+    * Long sums are exact, so this is bit-identical to the oracle and
+    * across cluster sizes). */
+  def corpusStats(docs: DataFrame, totalTurns: Long)
+    : (CorpusStats, Map[String, (Long, Double)]) = {
+    val statsRow = docs.agg(count(lit(1)), sum("dl")).head
     val nDocs = statsRow.getLong(0)
     val stats = CorpusStats(nDocs,
       if (nDocs == 0) 0.0 else statsRow.getLong(1).toDouble / nDocs,
       totalTurns, totalTurns - nDocs)
-
-    val byRole = docsCached.groupBy("role")
+    val byRole = docs.groupBy("role")
       .agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2).toDouble / r.getLong(1)))
       .toMap
-
-    BuiltIndex(docsCached, tf, terms, termsByRole, stats, byRole)
+    (stats, byRole)
   }
 
   /** Convenience: read a transcripts parquet path as Dataset[Turn]. */
