@@ -1,24 +1,66 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import searchspark.gen.TranscriptGen
+import searchspark.index.{IndexBuild, PostingIndex}
+import searchspark.query.Wand
+
+/** Round benchmark (driver contract): one JSON line with per-query
+  * seconds over SPARK_GRAFT_SF_DIR, plus engine headline numbers —
+  * index-build throughput (turns/sec) and top-k BM25 query latency
+  * (p50/p95 ms) on the generated transcript corpus, per BASELINE.json's
+  * metric definition. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "5000").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // 1) driver-contract operator queries on the testdata tables
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+
+    // 2) engine: index-build throughput on the transcript corpus
+    val t0 = System.nanoTime()
+    val turns = TranscriptGen.corpus(spark, TranscriptGen.DefaultSeed,
+      benchConvs.toLong, cpus.toInt * 2)
+    val idx = IndexBuild.build(spark, turns, partitions = cpus.toInt * 2)
+    val postings = PostingIndex.build(spark, idx, shardSize = 16384).cache()
+    val nPostings = postings.count() // materialize the full segment build
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val turnsPerSec = idx.stats.totalTurns / buildSec
+
+    // 3) engine: top-k BM25 latency over the built index (reference
+    //    defaults k=20), a mixed query workload from the fixture shapes
+    val queries = Seq("w0003", "w0010 w0025", "w0001 w0002 w0005",
+      "w0100 w0200", "w0042s w0042ing", "w0007 w0011 w0013 w0017 w0019")
+    // warmup
+    queries.foreach(q => Wand.search(spark, idx, postings, q))
+    val lat = (1 to 5).flatMap { _ =>
+      queries.map { q =>
+        val s = System.nanoTime()
+        Wand.search(spark, idx, postings, q)
+        (System.nanoTime() - s) / 1e6
+      }
+    }.sorted
+    val p50 = lat(lat.size / 2)
+    val p95 = lat(math.min(lat.size - 1, (lat.size * 95) / 100))
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"build_turns":${idx.stats.totalTurns},"build_sec":${f"$buildSec%.2f"},"build_turns_per_sec":${f"$turnsPerSec%.0f"},"postings_rows":$nPostings,"query_p50_ms":${f"$p50%.1f"},"query_p95_ms":${f"$p95%.1f"}}""")
     spark.stop()
   }
 }

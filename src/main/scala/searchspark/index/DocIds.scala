@@ -40,15 +40,14 @@ object DocIds {
 
   /** Assign ids over the indexable subset of `turns`.
     * Blank-text turns (the failed-fetch analog, Link.java:110-116) are
-    * excluded here and surface only in build metrics. */
+    * excluded here and surface only in build metrics.
+    * Fully columnar (ZipIndex) — no encoder round trip. */
   def assign(spark: SparkSession, turns: Dataset[Turn], partitions: Int): DataFrame = {
-    val indexable = turns.filter((t: Turn) => t.text != null && t.text.trim.nonEmpty)
-    val sorted = indexable
-      .repartitionByRange(partitions, indexable("conv_id"), indexable("turn_idx"))
-      .sortWithinPartitions(indexable("conv_id"), indexable("turn_idx"))
-    val rows = sorted.rdd.zipWithIndex.map { case (t, id) =>
-      Row(id, t.conv_id, t.turn_idx, t.role, t.tool, t.ts, t.text)
-    }
-    spark.createDataFrame(rows, schema)
+    import org.apache.spark.sql.functions.{col, trim}
+    val indexable = turns.toDF()
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+    ZipIndex.withRank(indexable, Seq(col("conv_id"), col("turn_idx")),
+        partitions, "docId")
+      .select("docId", "conv_id", "turn_idx", "role", "tool", "ts", "text")
   }
 }

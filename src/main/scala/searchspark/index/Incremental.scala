@@ -1,0 +1,132 @@
+package searchspark.index
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import searchspark.model.Turn
+
+/** Incremental (re)index — the batch analog of the reference's
+  * `POST /api/indexPage`
+  * (/root/reference/src/main/java/searchengine/services/IndexingServiceImpl.java:129-157):
+  * a known page is re-fetched and re-indexed in place (its id and the
+  * untouched pages' rows survive), an unknown page is added. Here the
+  * unit is a batch of turns:
+  *
+  *  - turns whose (conv_id, turn_idx) key already exists REPLACE their
+  *    doc in place, keeping its docId (like the reference keeps the
+  *    page row and overwrites rank, Link.java:209-216);
+  *  - new keys get fresh docIds appended after the current max (rank
+  *    among themselves — matching the reference's AUTO_INCREMENT
+  *    semantics for new pages; documented deviation from the cold
+  *    build's global-rank ids, invisible to scoring);
+  *  - ONLY the doc-range shards containing touched docs have their
+  *    posting segments rebuilt; every other shard's compressed segments
+  *    are reused as-is and merged by union — this is the external
+  *    segment-merge path, exercised at small scale (SURVEY.md §2.4 C9).
+  *
+  * The cheap global aggregates (term dict stats, dl, corpus stats) are
+  * recomputed — they're tiny outputs; the expensive artifact (segments)
+  * is strictly delta. Every table lands as a new IceLite snapshot, so a
+  * reader mid-update sees the old index atomically.
+  *
+  * Caveat (documented): block maxScore metadata embeds idf/avgdl from
+  * build time; after an append those drift. Reused blocks keep their
+  * old maxScore — still an upper bound as long as df only grows (idf
+  * shrinks) and avgdl grows, and Wand re-scores exactly anyway; the
+  * fixture asserts equality against a full recompute, which rebuilds
+  * every block, by comparing decoded postings (not block metadata).
+  */
+object Incremental {
+
+  final case class Report(replaced: Long, added: Long, shardsRebuilt: Long,
+                          shardsReused: Long)
+
+  def append(spark: SparkSession, root: String, newTurns: Dataset[Turn],
+             partitions: Int, shardSize: Int = PostingIndex.DefaultShardSize): Report = {
+    def table(name: String) = Paths.get(root, name).toString
+    val docsRawOld = IceLite.read(spark, table("docs_raw"))
+
+    val indexable = newTurns
+      .filter((t: Turn) => t.text != null && t.text.trim.nonEmpty)
+    val newDf = indexable.toDF()
+
+    val oldKeys = docsRawOld.select(col("docId"), col("conv_id"), col("turn_idx"))
+    // replaced: keep the existing docId, take the new payload
+    val replaced = newDf.join(oldKeys, Seq("conv_id", "turn_idx"))
+      .select(col("docId"), col("conv_id"), col("turn_idx"), col("role"),
+        col("tool"), col("ts"), col("text"))
+    // fresh: rank among themselves, appended after the current max id
+    val maxId = docsRawOld.agg(max("docId")).head.getLong(0)
+    val freshTurns = indexable.join(oldKeys.select("conv_id", "turn_idx"),
+      Seq("conv_id", "turn_idx"), "left_anti").as[Turn](newTurns.encoder)
+    val fresh = DocIds.assign(spark, freshTurns, partitions)
+      .withColumn("docId", col("docId") + lit(maxId + 1))
+
+    val nReplaced = replaced.count()
+    val nAdded = fresh.count()
+    val touched = replaced.select("docId").union(fresh.select("docId")).cache()
+
+    val oldTotalTurns = IceLite.currentSnapshot(table("docs_raw"))
+      .flatMap(_.props.get("totalTurns")).map(_.toLong).getOrElse(0L)
+    val newTotalTurns = oldTotalTurns + newTurns.count() - nReplaced
+
+    val docsRawNew = docsRawOld
+      .join(touched, Seq("docId"), "left_anti")
+      .unionByName(replaced).unionByName(fresh)
+    IceLite.commit(spark, docsRawNew, table("docs_raw"), operation = "append",
+      props = Map("totalTurns" -> newTotalTurns.toString))
+    val docsRaw = IceLite.read(spark, table("docs_raw"))
+
+    // delta TF: only touched docs re-analyzed; untouched tf rows reused
+    val tfOld = IceLite.read(spark, table("tf"))
+    val tfDelta = IndexBuild.tfFromDocs(
+      docsRaw.join(touched, Seq("docId"))) // re-read: snapshot-consistent text
+    val tfNew = tfOld.join(touched, Seq("docId"), "left_anti").unionByName(tfDelta)
+    IceLite.commit(spark, tfNew, table("tf"), operation = "append")
+    val tf = IceLite.read(spark, table("tf"))
+
+    // small global outputs: full recompute (identical code path as cold)
+    IceLite.commit(spark, IndexBuild.docsWithDl(docsRaw, tf), table("docs"))
+    val docs = IceLite.read(spark, table("docs"))
+    IceLite.commit(spark, IndexBuild.termDict(spark, tf, partitions), table("terms"))
+    IceLite.commit(spark, IndexBuild.termsByRole(tf, docs), table("terms_by_role"))
+    writeStats(spark, root, docs, newTotalTurns)
+
+    // segment merge: rebuild only shards containing touched docs
+    val touchedShards = touched
+      .select((col("docId") / shardSize).cast("int").as("shard")).distinct().cache()
+    val idx = BuildPipeline.loadRelational(spark, root)
+    val tfTouched = tf
+      .withColumn("shard", (col("docId") / shardSize).cast("int"))
+      .join(touchedShards, Seq("shard")).drop("shard")
+    val rebuilt = PostingIndex.build(spark, idx.copy(tf = tfTouched), shardSize).toDF()
+    val postingsOld = IceLite.read(spark, table("postings"))
+    val kept = postingsOld.join(touchedShards, Seq("shard"), "left_anti")
+    val nKept = kept.select("shard").distinct().count()
+    val nRebuilt = touchedShards.count()
+    IceLite.commit(spark, kept.unionByName(rebuilt), table("postings"))
+
+    touched.unpersist(); touchedShards.unpersist()
+    Report(nReplaced, nAdded, nRebuilt, nKept)
+  }
+
+  private def writeStats(spark: SparkSession, root: String, docs: DataFrame,
+                         totalTurns: Long): Unit = {
+    val (stats, byRole) = IndexBuild.corpusStats(docs, totalTurns)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    val payload = Map(
+      "n" -> stats.n.toString, "avgdl" -> stats.avgdl.toString,
+      "totalTurns" -> stats.totalTurns.toString,
+      "skippedBlank" -> stats.skippedBlank.toString) ++
+      byRole.map { case (r, (n, a)) => s"role.$r" -> s"$n:$a" }
+    val tmp = Paths.get(root, "stats.json.tmp")
+    java.nio.file.Files.write(tmp,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(payload))
+    java.nio.file.Files.move(tmp, Paths.get(root, "stats.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+}

@@ -1,0 +1,49 @@
+package searchspark.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Columnar dense-rank assignment (the zipWithIndex pattern without
+  * leaving the DataFrame world): range-partition on the sort key, sort
+  * within partitions, cache the sorted form, count rows per partition
+  * (one job on the cache), prefix-sum the offsets on the driver, then
+  * derive the rank as `offset(pid) + rowIndexInPartition` where the
+  * row index comes from `monotonically_increasing_id()`'s documented
+  * layout (partitionId << 33 | index) over the cached partitions.
+  *
+  * Why not `Dataset.rdd.zipWithIndex`: that path deserializes every row
+  * to JVM objects through the encoder and back — measured as a large
+  * slice of the build's serial+alloc cost. Here every pass stays in
+  * Tungsten rows with whole-stage codegen.
+  *
+  * Determinism: the rank is the global rank of a unique sort key, so it
+  * is invariant to partition boundaries (sampling) and parallelism —
+  * same argument and same tests as SURVEY.md §7.3. Caveats: ≤ 2^33 rows
+  * per partition (id layout), and the offsets array is a literal —
+  * at 10^6+ partitions switch to a broadcast join on pid.
+  */
+object ZipIndex {
+
+  /** Returns df + a dense `name` rank column ordered by `sortCols`.
+    * The sorted intermediate stays cached for the session (callers
+    * doing repeated timed runs should clear the cache between runs). */
+  def withRank(df: DataFrame, sortCols: Seq[Column], partitions: Int,
+               name: String): DataFrame = {
+    val sorted = df.repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val counts = sorted.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (counts.isEmpty) 0 else counts.keys.max
+    val offsets = new Array[Long](maxPid + 1)
+    var acc = 0L
+    (0 to maxPid).foreach { p => offsets(p) = acc; acc += counts.getOrElse(p, 0L) }
+    val offCol = array(offsets.map(lit(_)): _*)
+    sorted
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn(name, element_at(offCol, col("__pid") + 1) +
+        (col("__mid") - shiftleft(col("__pid").cast("long"), 33)))
+      .drop("__pid", "__mid")
+  }
+}

@@ -57,9 +57,11 @@ object SimOps {
         Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    val est = sig.select(col("doc_id").as("a"), col("i"), col("minh").as("ma"))
-      .join(sig.select(col("doc_id").as("b"), col("i"), col("minh").as("mb")), Seq("i"))
-      .join(cand, Seq("a", "b"))
+    // candidates FIRST, then widen by the 12 signature rows — |cand|·12
+    // rows, never the sig×sig-on-i cross product
+    val est = cand
+      .join(sig.select(col("doc_id").as("a"), col("i"), col("minh").as("ma")), Seq("a"))
+      .join(sig.select(col("doc_id").as("b"), col("i"), col("minh").as("mb")), Seq("b", "i"))
       .groupBy("a", "b")
       .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("matches"))
       .withColumn("est_sim_e6", expr(s"matches * 1000000 div $NumHashes"))

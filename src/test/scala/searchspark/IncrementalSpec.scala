@@ -1,0 +1,68 @@
+package searchspark
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import searchspark.gen.TranscriptGen
+import searchspark.index._
+import searchspark.model.Turn
+import searchspark.query.Wand
+
+/** C9 incremental (re)index: delta TF + shard-local segment rebuild +
+  * union merge must equal a full recompute from the same updated
+  * docs_raw (identical docIds ⇒ directly comparable tables). */
+class IncrementalSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def ds(turns: Seq[Turn]) = {
+    import spark.implicits._
+    spark.createDataset(turns)
+  }
+
+  test("append new convs + replace one turn == full recompute, shards mostly reused") {
+    val root = Files.createTempDirectory("idx-incr").toString
+    val base = TranscriptGen.localCorpus(42L, 30)
+    BuildPipeline.run(spark, ds(base), root, "gen:42:30", partitions = 4, shardSize = 256)
+
+    // delta: 3 brand-new conversations + one existing turn re-indexed
+    // with new text (the reference's re-fetch path)
+    val newConvs = (100L until 103L).flatMap(TranscriptGen.conversation(42L, _))
+    val edited = base.head.copy(text = "completely new wording about w0001 w0002 tables")
+    val delta = ds(newConvs :+ edited)
+
+    val rep = Incremental.append(spark, root, delta, partitions = 4, shardSize = 256)
+    assert(rep.replaced == 1)
+    assert(rep.added > 50)
+    assert(rep.shardsReused > 0, "expected untouched shards to be reused")
+
+    // full recompute from the SAME updated docs_raw (same ids)
+    val docsRaw = IceLite.read(spark, Paths.get(root, "docs_raw").toString)
+    val tfFull = IndexBuild.tfFromDocs(docsRaw)
+    val tfIncr = IceLite.read(spark, Paths.get(root, "tf").toString)
+    assert(tfIncr.exceptAll(tfFull).count() == 0 && tfFull.exceptAll(tfIncr).count() == 0,
+      "incremental tf != full recompute")
+
+    val docsFull = IndexBuild.docsWithDl(docsRaw, tfFull)
+    val docsIncr = IceLite.read(spark, Paths.get(root, "docs").toString)
+    assert(docsIncr.exceptAll(docsFull).count() == 0 && docsFull.exceptAll(docsIncr).count() == 0)
+
+    // postings: decoded content must match a from-scratch segment build
+    val idx = BuildPipeline.loadRelational(spark, root)
+    val full = PostingIndex.build(spark, idx, shardSize = 256)
+    val incr = BuildPipeline.loadPostings(spark, root)
+    def flat(p: org.apache.spark.sql.Dataset[searchspark.model.TermPostings]) =
+      p.collect().flatMap { tp =>
+        val (d, t, l) = Segments.decodeAll(tp.blocks)
+        d.indices.map(i => (tp.shard, tp.term, d(i), t(i), l(i)))
+      }.sortBy(x => (x._1, x._2, x._3)).toSeq
+    assert(flat(incr) == flat(full), "incremental segments != full rebuild")
+
+    // and the merged index answers queries (replaced text is findable)
+    val postings = BuildPipeline.loadPostings(spark, root)
+    val r = Wand.search(spark, idx, postings, "completely wording")
+    assert(r.ok && r.hits.exists(h =>
+      h.conv_id == edited.conv_id && h.turn_idx == edited.turn_idx))
+  }
+}

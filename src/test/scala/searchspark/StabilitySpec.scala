@@ -1,0 +1,65 @@
+package searchspark
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import searchspark.gen.TranscriptGen
+import searchspark.index.{DocIds, IndexBuild, PostingIndex}
+
+/** Pipeline invariants (FIXTURES.md §5 / SURVEY.md §5.5-5.6):
+  * parallelism-invariant ids, per-turn text equality, skew bounds. */
+class StabilitySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private lazy val turns = TranscriptGen.localCorpus(42L, 40)
+
+  private def ds = {
+    import spark.implicits._
+    spark.createDataset(turns)
+  }
+
+  test("generated corpus is identical at any generation parallelism") {
+    val a = TranscriptGen.corpus(spark, 42L, 40, partitions = 2).collect()
+    val b = TranscriptGen.corpus(spark, 42L, 40, partitions = 17).collect()
+    assert(a.sortBy(t => (t.conv_id, t.turn_idx)).toSeq ==
+      b.sortBy(t => (t.conv_id, t.turn_idx)).toSeq)
+    assert(a.toSeq.sortBy(t => (t.conv_id, t.turn_idx)) ==
+      turns.sortBy(t => (t.conv_id, t.turn_idx)))
+  }
+
+  test("docId assignment is invariant to partitioning (SURVEY §7.3)") {
+    val a = DocIds.assign(spark, ds, partitions = 2)
+      .select("docId", "conv_id", "turn_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+    val b = DocIds.assign(spark, ds, partitions = 11)
+      .select("docId", "conv_id", "turn_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(a == b)
+    // dense ranks in key order
+    assert(a.map(_._1) == a.indices.map(_.toLong))
+    assert(a == a.sortBy(x => (x._2, x._3)))
+  }
+
+  test("row invariant: per-turn text equality through the build (input_hint)") {
+    val idx = IndexBuild.build(spark, ds, partitions = 3)
+    val carried = idx.docs.select("conv_id", "turn_idx", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    val source = turns.filter(t => t.text != null && t.text.trim.nonEmpty)
+      .map(t => (t.conv_id, t.turn_idx) -> t.text).toMap
+    assert(carried == source)
+  }
+
+  test("skew fixture: stopword-tier terms are bounded by sharding") {
+    val idx = IndexBuild.build(spark, ds, partitions = 3)
+    val shardSize = 128
+    val postings = PostingIndex.build(spark, idx, shardSize = shardSize)
+    val byShardTerm = postings.collect()
+    // no (shard, term) group ever exceeds the shard size — the Zipf head
+    // cannot produce a straggler group
+    assert(byShardTerm.forall(tp => tp.blocks.map(_.count).sum <= shardSize))
+    // and the hottest term (filler00, df≈0.9N) is spread over all shards
+    val nShards = byShardTerm.map(_.shard).distinct.length
+    val fillerShards = byShardTerm.filter(_.term == TranscriptGen.FillerTerms.head)
+      .map(_.shard).distinct.length
+    assert(fillerShards == nShards)
+  }
+}
