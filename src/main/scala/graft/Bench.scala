@@ -45,15 +45,17 @@ object Bench {
     val turnsPerSec = idx.stats.totalTurns / buildSec
 
     // 3) engine: top-k BM25 latency over the built index (reference
-    //    defaults k=20), a mixed query workload from the fixture shapes
+    //    defaults k=20), a mixed query workload from the fixture shapes,
+    //    through the hot (shard-partitioned, shuffle-free) path
+    val engine = searchspark.query.SearchEngine(spark, idx, postings)
     val queries = Seq("w0003", "w0010 w0025", "w0001 w0002 w0005",
       "w0100 w0200", "w0042s w0042ing", "w0007 w0011 w0013 w0017 w0019")
     // warmup
-    queries.foreach(q => Wand.search(spark, idx, postings, q))
+    queries.foreach(q => engine.search(q))
     val lat = (1 to 5).flatMap { _ =>
       queries.map { q =>
         val s = System.nanoTime()
-        Wand.search(spark, idx, postings, q)
+        engine.search(q)
         (System.nanoTime() - s) / 1e6
       }
     }.sorted

@@ -4,7 +4,6 @@ import org.apache.spark.sql.SparkSession
 
 import searchspark.gen.TranscriptGen
 import searchspark.index.IndexBuild
-import searchspark.query.SearchService
 
 /** CLI surface of the engine — the `GET /api/search` analog
   * (/root/reference/src/main/java/searchengine/controllers/ApiController.java:66-76).
@@ -49,11 +48,12 @@ object Main {
       case Some(p) => IndexBuild.readTranscripts(spark, p)
       case None => TranscriptGen.corpus(spark, TranscriptGen.DefaultSeed, convs.toLong, 4)
     }
-    val idx = IndexBuild.build(spark, turns, partitions = 8).cache()
+    val engine = searchspark.query.SearchEngine.fromTurns(spark, turns, partitions = 8)
+    val idx = engine.idx
     println(s"[index] docs=${idx.stats.n} skippedBlank=${idx.stats.skippedBlank} " +
       s"terms=${idx.terms.count()} avgdl=${f"${idx.stats.avgdl}%.2f"}")
 
-    val r = SearchService.search(spark, idx, query, scope, offset, limit)
+    val r = engine.search(query, scope, offset, limit)
     if (!r.ok) println(s"""{"result":false,"error":"${r.error}"}""")
     else {
       println(s"""{"result":true,"count":${r.count}}""")

@@ -130,14 +130,14 @@ object BuildPipeline {
 
     lazy val tf = IceLite.read(spark, table("tf"))
     stage("docs") {
-      IceLite.commit(spark, IndexBuild.docsWithDl(docsRaw, tf), table("docs")).totalRows
+      IceLite.commit(spark, IndexBuild.docsWithDl(docsRaw), table("docs")).totalRows
     }
     stage("terms") {
       IceLite.commit(spark, IndexBuild.termDict(spark, tf, partitions), table("terms")).totalRows
     }
     lazy val docs = IceLite.read(spark, table("docs"))
     stage("terms_by_role") {
-      IceLite.commit(spark, IndexBuild.termsByRole(tf, docs), table("terms_by_role")).totalRows
+      IceLite.commit(spark, IndexBuild.termsByRole(tf), table("terms_by_role")).totalRows
     }
     stage("stats") {
       val totalTurns = IceLite.currentSnapshot(table("docs_raw"))
@@ -157,7 +157,13 @@ object BuildPipeline {
     stage("postings") {
       val idx = loadRelational(spark, root)
       val segs = PostingIndex.build(spark, idx, shardSize)
-      IceLite.commit(spark, segs.toDF(), table("postings")).totalRows
+      // at-rest layout: range-partition + sort by termId so a query's
+      // term-IN filter prunes row groups via parquet min/max stats
+      // (PlanAudit shows PushedFilters reaching this scan)
+      val sorted = segs.toDF()
+        .repartitionByRange(math.max(1, partitions / 2), col("termId"))
+        .sortWithinPartitions("termId", "shard")
+      IceLite.commit(spark, sorted, table("postings")).totalRows
     }
 
     total = manifest.stages.get("docs").map(_.rows).getOrElse(0L)

@@ -88,10 +88,10 @@ object Incremental {
     val tf = IceLite.read(spark, table("tf"))
 
     // small global outputs: full recompute (identical code path as cold)
-    IceLite.commit(spark, IndexBuild.docsWithDl(docsRaw, tf), table("docs"))
+    IceLite.commit(spark, IndexBuild.docsWithDl(docsRaw), table("docs"))
     val docs = IceLite.read(spark, table("docs"))
     IceLite.commit(spark, IndexBuild.termDict(spark, tf, partitions), table("terms"))
-    IceLite.commit(spark, IndexBuild.termsByRole(tf, docs), table("terms_by_role"))
+    IceLite.commit(spark, IndexBuild.termsByRole(tf), table("terms_by_role"))
     writeStats(spark, root, docs, newTotalTurns)
 
     // segment merge: rebuild only shards containing touched docs

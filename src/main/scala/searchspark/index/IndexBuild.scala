@@ -56,24 +56,28 @@ object IndexBuild {
 
   /** Stage: analyzer projection + TF aggregation over assigned docs.
     * B1-B4 as pure Catalyst expressions: explode raw tokens, filter
-    * B2 (short) + B3 (stop), map B4 (lemma). Whole-stage codegen'd. */
+    * B2 (short) + B3 (stop), map B4 (lemma). Whole-stage codegen'd.
+    *
+    * `role` and `dl` (both functionally dependent on docId; dl computed
+    * NARROWLY via Analyzer.dlCol) ride along as grouping columns so the
+    * query path and the segment build never join the 10^?-row TF table
+    * back to docs — at bench scale that removed two ~20M-row shuffle
+    * joins from the critical path. */
   def tfFromDocs(docsRaw: DataFrame): DataFrame = {
     val tok = col("tok")
     docsRaw
-      .select(col("docId"), explode(Analyzer.tokensCol(col("text"))).as("tok"))
+      .select(col("docId"), col("role"), Analyzer.dlCol(col("text")).as("dl"),
+        explode(Analyzer.tokensCol(col("text"))).as("tok"))
       .filter(length(tok) > 1 || tok.isInCollection(Analyzer.KeepShort.toSeq.sorted))
       .filter(!tok.isInCollection(Analyzer.Stopwords.toIndexedSeq))
-      .select(col("docId"), Analyzer.lemmaCol(tok).as("term"))
-      .groupBy(col("docId"), col("term"))
+      .select(col("docId"), col("role"), col("dl"), Analyzer.lemmaCol(tok).as("term"))
+      .groupBy(col("docId"), col("role"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("int").as("tf"))
   }
 
-  /** Stage: doc length = Σ tf per doc; zero-term docs get dl=0. */
-  def docsWithDl(docsRaw: DataFrame, tf: DataFrame): DataFrame = {
-    val dlDf = tf.groupBy("docId").agg(sum("tf").as("dl"))
-    docsRaw.join(dlDf, Seq("docId"), "left")
-      .withColumn("dl", coalesce(col("dl"), lit(0L)))
-  }
+  /** Stage: doc length as a narrow projection (no aggregate, no join). */
+  def docsWithDl(docsRaw: DataFrame): DataFrame =
+    docsRaw.withColumn("dl", Analyzer.dlCol(col("text")))
 
   /** Stage: term dictionary — df = distinct docs (tf rows are unique per
     * (docId, term)), cf = Σ tf; termId = rank in term sort order
@@ -86,10 +90,10 @@ object IndexBuild {
       .select("term", "termId", "df", "cf")
   }
 
-  /** Stage: scope-local df (reference: per-site lemma rows; per-role). */
-  def termsByRole(tf: DataFrame, docs: DataFrame): DataFrame =
-    tf.join(docs.select("docId", "role"), Seq("docId"))
-      .groupBy("role", "term").agg(count(lit(1)).as("df"))
+  /** Stage: scope-local df (reference: per-site lemma rows; per-role).
+    * No join — role rides in the TF rows. */
+  def termsByRole(tf: DataFrame): DataFrame =
+    tf.groupBy("role", "term").agg(count(lit(1)).as("df"))
 
   /** Build the index over a transcript Dataset. `partitions` sizes the
     * range shuffle for docId assignment (≈ input split count). */
@@ -117,10 +121,10 @@ object IndexBuild {
     if (timing) phase("docIds")(docsRaw.count())
     val tf = tfFromDocs(docsRaw).cache()
     if (timing) phase("tf")(tf.count())
-    val docs = docsWithDl(docsRaw, tf)
+    val docs = docsWithDl(docsRaw)
     val terms = termDict(spark, tf, partitions)
     if (timing) phase("dict")(terms.count())
-    val byRoleDf = termsByRole(tf, docs)
+    val byRoleDf = termsByRole(tf)
 
     val docsCached = docs.cache()
     val (stats, byRole) = phase("stats")(corpusStats(docsCached, totalTurns))

@@ -41,8 +41,7 @@ object PostingIndex {
     import spark.implicits._
     val n = idx.stats.n
     val avgdl = idx.stats.avgdl
-    val rows = idx.tf
-      .join(idx.docs.select(col("docId"), col("dl")), Seq("docId"))
+    val rows = idx.tf // carries role+dl — no docs join needed
       .join(idx.terms.select(col("term"), col("termId"), col("df")), Seq("term"))
       .select(
         (col("docId") / shardSize).cast("int").as("shard"),

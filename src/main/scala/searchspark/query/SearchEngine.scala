@@ -1,0 +1,76 @@
+package searchspark.query
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import searchspark.index.{BuildPipeline, BuiltIndex, IndexBuild, PostingIndex}
+import searchspark.model.{SearchResult, TermPostings, Turn}
+
+/** The user-facing engine facade: one object holding the hot index and
+  * routing each query to the right physical path —
+  *
+  *  - unscoped → block-max WAND over the shard-partitioned posting RDD
+  *    (single stage, zero shuffle per query; the RDD is hash-partitioned
+  *    by shard once at load so every shard's rows are complete within
+  *    one partition);
+  *  - role-scoped → the DataFrame parity path (scope-local df/avgdl
+  *    change every per-term bound, so block-max metadata built under
+  *    global stats is not a valid pruning bound there — documented
+  *    routing decision, both paths rank-identical to the oracle).
+  */
+final class SearchEngine private (
+    val spark: SparkSession,
+    val idx: BuiltIndex,
+    val postings: Dataset[TermPostings],
+    byShard: RDD[TermPostings]) {
+
+  def search(query: String, scope: Option[String] = None,
+             offset: Int = 0, limit: Int = 20): SearchResult = scope match {
+    case None => Wand.searchPartitioned(spark, idx, byShard, query, offset, limit)
+    case Some(_) => SearchService.search(spark, idx, query, scope, offset, limit)
+  }
+
+  def close(): Unit = {
+    idx.unpersist()
+    postings.unpersist()
+    byShard.unpersist()
+  }
+}
+
+object SearchEngine {
+
+  private def partitionByShard(spark: SparkSession,
+                               postings: Dataset[TermPostings]): RDD[TermPostings] = {
+    // serving layout: FEWER, fatter partitions than the build — per-query
+    // latency is dominated by task-launch overhead (each query scans all
+    // partitions once), not per-task work
+    val n = math.max(spark.sparkContext.defaultParallelism / 4, 4)
+    postings.rdd
+      .map(p => (p.shard, p))
+      .partitionBy(new HashPartitioner(n))
+      .values
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Wrap an in-memory built index. */
+  def apply(spark: SparkSession, idx: BuiltIndex,
+            postings: Dataset[TermPostings]): SearchEngine = {
+    val cached = postings.cache()
+    new SearchEngine(spark, idx.cache(), cached, partitionByShard(spark, cached))
+  }
+
+  /** Build from a transcript Dataset (tests / Main). */
+  def fromTurns(spark: SparkSession, turns: Dataset[Turn], partitions: Int,
+                shardSize: Int = PostingIndex.DefaultShardSize): SearchEngine = {
+    val idx = IndexBuild.build(spark, turns, partitions)
+    apply(spark, idx, PostingIndex.build(spark, idx, shardSize))
+  }
+
+  /** Load a persisted (IceLite) index built by BuildPipeline. */
+  def load(spark: SparkSession, root: String): SearchEngine = {
+    val idx = BuildPipeline.loadRelational(spark, root)
+    apply(spark, idx, BuildPipeline.loadPostings(spark, root))
+  }
+}

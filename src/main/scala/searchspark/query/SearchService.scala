@@ -84,19 +84,17 @@ object SearchService {
       case Right((surviving, dfMap, n, avgdl)) =>
         val idfByTerm = surviving.map(t => t -> Scoring.idf(dfMap(t), n)).toMap
 
-        val docCols = idx.docs.select(col("docId"), col("role"), col("dl"))
-        val scopedDocs = scope match {
-          case None => docCols
-          case Some(r) => docCols.filter(col("role") === r)
-        }
-
         // Q2 conjunctive candidates + Q3 scoring in ONE shuffle on docId:
         // a doc qualifies iff it matched all surviving terms (tf rows are
         // unique per (docId, term) so count == |q'|); score = fold of
-        // per-term partials in ascending term order.
-        val scored = idx.tf
+        // per-term partials in ascending term order. tf carries role+dl,
+        // so no join at all — just filters on the posting rows.
+        val tfScoped = scope match {
+          case None => idx.tf
+          case Some(r) => idx.tf.filter(col("role") === r) // ↔ site param (:52)
+        }
+        val scored = tfScoped
           .filter(col("term").isInCollection(surviving))
-          .join(scopedDocs, Seq("docId")) // scope filter ↔ site param (:52)
           .withColumn("partial", partialCol(idfByTerm, avgdl))
           .groupBy("docId")
           .agg(

@@ -40,20 +40,12 @@ object Wand {
 
   def search(spark: SparkSession, idx: BuiltIndex,
              postings: Dataset[TermPostings], query: String,
-             offset: Int = 0, limit: Int = 20): SearchResult = {
-    SearchService.planTerms(idx, query, None) match {
-      case Left(err) => err
-      case Right((surviving, dfMap, n, avgdl)) =>
-        val k = offset + limit
-        val idfByTerm = surviving.map(t => t -> Scoring.idf(dfMap(t), n)).toMap
-        val termsAsc = surviving.sorted
-        val byRarity = surviving.sortBy(t => (dfMap(t), t))
+             offset: Int = 0, limit: Int = 20): SearchResult =
+    searchWith(spark, idx, query, offset, limit) {
+      case (surviving, bIdf, bOrder, avgdl, k) =>
         val nTerms = surviving.size
-
         import spark.implicits._
-        val bIdf = spark.sparkContext.broadcast(idfByTerm)
-        val bOrder = spark.sparkContext.broadcast((termsAsc, byRarity))
-        val shardTops: Array[ShardTop] = postings
+        postings
           .filter(col("term").isInCollection(surviving))
           .groupByKey(_.shard)
           .mapGroups { (_, it) =>
@@ -62,6 +54,50 @@ object Wand {
             else wandShard(lists, bIdf.value, bOrder.value._1, bOrder.value._2, avgdl, k)
           }
           .collect()
+    }
+
+  /** Hot path: postings pre-partitioned by shard (SearchEngine.load) —
+    * the scatter is a SINGLE stage with no shuffle: filter preserves the
+    * partitioning, each partition groups its complete shards locally. */
+  def searchPartitioned(spark: SparkSession, idx: BuiltIndex,
+                        byShard: org.apache.spark.rdd.RDD[TermPostings],
+                        query: String, offset: Int = 0,
+                        limit: Int = 20): SearchResult =
+    searchWith(spark, idx, query, offset, limit) {
+      case (surviving, bIdf, bOrder, avgdl, k) =>
+        val survSet = surviving.toSet
+        val bSurv = spark.sparkContext.broadcast(survSet)
+        val nTerms = surviving.size
+        byShard
+          .mapPartitions { it =>
+            val surv = bSurv.value
+            it.filter(p => surv.contains(p.term))
+              .toSeq.groupBy(_.shard).iterator
+              .map { case (_, rows) =>
+                val lists = rows.toArray
+                if (lists.length < nTerms) (0L, Array.empty[(Long, Double)])
+                else wandShard(lists, bIdf.value, bOrder.value._1, bOrder.value._2, avgdl, k)
+              }
+          }
+          .collect()
+    }
+
+  private def searchWith(spark: SparkSession, idx: BuiltIndex, query: String,
+                         offset: Int, limit: Int)(
+      scatter: ((Seq[String],
+                 org.apache.spark.broadcast.Broadcast[Map[String, Double]],
+                 org.apache.spark.broadcast.Broadcast[(Seq[String], Seq[String])],
+                 Double, Int)) => Array[ShardTop]): SearchResult = {
+    SearchService.planTerms(idx, query, None) match {
+      case Left(err) => err
+      case Right((surviving, dfMap, n, avgdl)) =>
+        val k = offset + limit
+        val idfByTerm = surviving.map(t => t -> Scoring.idf(dfMap(t), n)).toMap
+        val termsAsc = surviving.sorted
+        val byRarity = surviving.sortBy(t => (dfMap(t), t))
+        val bIdf = spark.sparkContext.broadcast(idfByTerm)
+        val bOrder = spark.sparkContext.broadcast((termsAsc, byRarity))
+        val shardTops = scatter((surviving, bIdf, bOrder, avgdl, k))
 
         val total = shardTops.map(_._1).sum
         if (total == 0) return SearchResult(ok = false, 0, Nil, "Nothing found")

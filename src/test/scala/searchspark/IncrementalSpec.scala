@@ -44,7 +44,7 @@ class IncrementalSpec extends AnyFunSuite {
     assert(tfIncr.exceptAll(tfFull).count() == 0 && tfFull.exceptAll(tfIncr).count() == 0,
       "incremental tf != full recompute")
 
-    val docsFull = IndexBuild.docsWithDl(docsRaw, tfFull)
+    val docsFull = IndexBuild.docsWithDl(docsRaw)
     val docsIncr = IceLite.read(spark, Paths.get(root, "docs").toString)
     assert(docsIncr.exceptAll(docsFull).count() == 0 && docsFull.exceptAll(docsIncr).count() == 0)
 

@@ -39,6 +39,16 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("SearchEngine hot path (partitioned, shuffle-free) is rank-identical too") {
+    val engine = searchspark.query.SearchEngine(spark, idx, postings)
+    val spec = new RankIdentitySpec
+    QueryFixtures.deriveQueries(oracle).foreach { q =>
+      val expect = oracle.search(q.query, q.scope, q.offset, q.limit)
+      val got = engine.search(q.query, q.scope, q.offset, q.limit)
+      spec.assertSame("engine-" + q.id, got, expect)
+    }
+  }
+
   test("WAND agrees at different shard sizes (shard layout is invisible)") {
     val p2 = PostingIndex.build(spark, idx, shardSize = 64).cache()
     try {
