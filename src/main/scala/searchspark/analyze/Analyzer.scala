@@ -118,18 +118,6 @@ object Analyzer {
       .otherwise(split(cleaned, " "))
   }
 
-  /** Doc length (count of analyzed tokens) as a NARROW column over the
-    * raw text — no explode/aggregate/join: size of the filtered token
-    * array. Must stay predicate-identical to the exploded pipeline
-    * (asserted via avgdl equality with the scalar oracle in tests). */
-  def dlCol(text: Column): Column = {
-    val keep = KeepShort.toSeq.sorted
-    val stop = Stopwords.toIndexedSeq
-    size(filter(tokensCol(text), t =>
-      (length(t) > 1 || t.isInCollection(keep)) && !t.isInCollection(stop)))
-      .cast("long")
-  }
-
   /** B4 as a Column over a single token column (rule-for-rule identical
     * to [[lemma]]; first matching WHEN wins, same order). */
   def lemmaCol(tok: Column): Column = {

@@ -26,9 +26,8 @@ import searchspark.model.{TermPostings, Turn}
   *
   * Stage graph:
   * {{{
-  *   docs_raw   stable docId assignment over non-blank turns
-  *   tf         analyzer projection + TF agg
-  *   docs       dl join
+  *   docs_raw   stable docId assignment over non-blank, deduped turns
+  *   tf         analyzer projection + TF agg (carries role + dl)
   *   terms      global dictionary (termId, df, cf)
   *   terms_by_role  scope-local df
   *   stats      scalar stats JSON (n, avgdl, blanks, per-role)
@@ -129,20 +128,16 @@ object BuildPipeline {
     }
 
     lazy val tf = IceLite.read(spark, table("tf"))
-    stage("docs") {
-      IceLite.commit(spark, IndexBuild.docsWithDl(docsRaw), table("docs")).totalRows
-    }
     stage("terms") {
       IceLite.commit(spark, IndexBuild.termDict(spark, tf, partitions), table("terms")).totalRows
     }
-    lazy val docs = IceLite.read(spark, table("docs"))
     stage("terms_by_role") {
       IceLite.commit(spark, IndexBuild.termsByRole(tf), table("terms_by_role")).totalRows
     }
     stage("stats") {
       val totalTurns = IceLite.currentSnapshot(table("docs_raw"))
         .flatMap(_.props.get("totalTurns")).map(_.toLong).getOrElse(0L)
-      val (stats, byRole) = IndexBuild.corpusStats(docs, totalTurns)
+      val (stats, byRole) = IndexBuild.corpusStats(docsRaw, tf, totalTurns)
       val payload = Map(
         "n" -> stats.n.toString, "avgdl" -> stats.avgdl.toString,
         "totalTurns" -> stats.totalTurns.toString,
@@ -166,7 +161,7 @@ object BuildPipeline {
       IceLite.commit(spark, sorted, table("postings")).totalRows
     }
 
-    total = manifest.stages.get("docs").map(_.rows).getOrElse(0L)
+    total = manifest.stages.get("docs_raw").map(_.rows).getOrElse(0L)
     BuildReport(ran.result(), skipped.result(), total)
   }
 
@@ -182,7 +177,7 @@ object BuildPipeline {
       k.stripPrefix("role.") -> (n.toLong, a.toDouble)
     }
     BuiltIndex(
-      IceLite.read(spark, table("docs")),
+      IceLite.read(spark, table("docs_raw")), // docs == docs_raw (dl lives in tf)
       IceLite.read(spark, table("tf")),
       IceLite.read(spark, table("terms")),
       IceLite.read(spark, table("terms_by_role")),

@@ -88,11 +88,9 @@ object Incremental {
     val tf = IceLite.read(spark, table("tf"))
 
     // small global outputs: full recompute (identical code path as cold)
-    IceLite.commit(spark, IndexBuild.docsWithDl(docsRaw), table("docs"))
-    val docs = IceLite.read(spark, table("docs"))
     IceLite.commit(spark, IndexBuild.termDict(spark, tf, partitions), table("terms"))
     IceLite.commit(spark, IndexBuild.termsByRole(tf), table("terms_by_role"))
-    writeStats(spark, root, docs, newTotalTurns)
+    writeStats(spark, root, docsRaw, tf, newTotalTurns)
 
     // segment merge: rebuild only shards containing touched docs
     val touchedShards = touched
@@ -112,9 +110,9 @@ object Incremental {
     Report(nReplaced, nAdded, nRebuilt, nKept)
   }
 
-  private def writeStats(spark: SparkSession, root: String, docs: DataFrame,
-                         totalTurns: Long): Unit = {
-    val (stats, byRole) = IndexBuild.corpusStats(docs, totalTurns)
+  private def writeStats(spark: SparkSession, root: String, docsRaw: DataFrame,
+                         tf: DataFrame, totalTurns: Long): Unit = {
+    val (stats, byRole) = IndexBuild.corpusStats(docsRaw, tf, totalTurns)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     mapper.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
     val payload = Map(

@@ -65,19 +65,22 @@ object IndexBuild {
     * joins from the critical path. */
   def tfFromDocs(docsRaw: DataFrame): DataFrame = {
     val tok = col("tok")
-    docsRaw
-      .select(col("docId"), col("role"), Analyzer.dlCol(col("text")).as("dl"),
-        explode(Analyzer.tokensCol(col("text"))).as("tok"))
+    val tf0 = docsRaw
+      .select(col("docId"), col("role"), explode(Analyzer.tokensCol(col("text"))).as("tok"))
       .filter(length(tok) > 1 || tok.isInCollection(Analyzer.KeepShort.toSeq.sorted))
       .filter(!tok.isInCollection(Analyzer.Stopwords.toIndexedSeq))
-      .select(col("docId"), col("role"), col("dl"), Analyzer.lemmaCol(tok).as("term"))
-      .groupBy(col("docId"), col("role"), col("dl"), col("term"))
+      .select(col("docId"), col("role"), Analyzer.lemmaCol(tok).as("term"))
+      .groupBy(col("docId"), col("role"), col("term"))
       .agg(count(lit(1)).cast("int").as("tf"))
+    // dl = Σ tf per doc, joined back onto the SKINNY tf rows (never the
+    // texts table): at bench scale the dl side auto-broadcasts; at
+    // cluster scale it's a shuffle join of two narrow tables. (A narrow
+    // per-row dl recompute was tried and reverted: higher-order filter()
+    // lambdas are interpreted, not codegen'd — it made TF 4x slower.)
+    val dl = tf0.groupBy("docId").agg(sum("tf").as("dl"))
+    tf0.join(dl, Seq("docId"))
+      .select("docId", "role", "dl", "term", "tf")
   }
-
-  /** Stage: doc length as a narrow projection (no aggregate, no join). */
-  def docsWithDl(docsRaw: DataFrame): DataFrame =
-    docsRaw.withColumn("dl", Analyzer.dlCol(col("text")))
 
   /** Stage: term dictionary — df = distinct docs (tf rows are unique per
     * (docId, term)), cf = Σ tf; termId = rank in term sort order
@@ -121,33 +124,36 @@ object IndexBuild {
     if (timing) phase("docIds")(docsRaw.count())
     val tf = tfFromDocs(docsRaw).cache()
     if (timing) phase("tf")(tf.count())
-    val docs = docsWithDl(docsRaw)
     val terms = termDict(spark, tf, partitions)
     if (timing) phase("dict")(terms.count())
     val byRoleDf = termsByRole(tf)
 
-    val docsCached = docs.cache()
-    val (stats, byRole) = phase("stats")(corpusStats(docsCached, totalTurns))
+    val (stats, byRole) = phase("stats")(corpusStats(docsRaw, tf, totalTurns))
     turnsCached.unpersist()
-    BuiltIndex(docsCached, tf, terms, byRoleDf, stats, byRole)
+    BuiltIndex(docsRaw, tf, terms, byRoleDf, stats, byRole)
   }
 
   /** Global + per-role scalar stats. avgdl = exact Long sum / count (NOT
     * avg(): Double partial sums are order-dependent across parallelism;
     * Long sums are exact, so this is bit-identical to the oracle and
-    * across cluster sizes). */
-  def corpusStats(docs: DataFrame, totalTurns: Long)
+    * across cluster sizes). dl sums come from the tf rows (one tf row
+    * per (doc, term), dl functionally dependent on docId → use Σ tf
+    * which equals Σ_docs dl; zero-term docs contribute 0 and are counted
+    * via docsRaw). */
+  def corpusStats(docsRaw: DataFrame, tf: DataFrame, totalTurns: Long)
     : (CorpusStats, Map[String, (Long, Double)]) = {
-    val statsRow = docs.agg(count(lit(1)), sum("dl")).head
-    val nDocs = statsRow.getLong(0)
+    val nDocs = docsRaw.count()
+    val sumDl = Option(tf.agg(sum("tf")).head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val stats = CorpusStats(nDocs,
-      if (nDocs == 0) 0.0 else statsRow.getLong(1).toDouble / nDocs,
+      if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs,
       totalTurns, totalTurns - nDocs)
-    val byRole = docs.groupBy("role")
-      .agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
-      .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2).toDouble / r.getLong(1)))
-      .toMap
+    val roleN = docsRaw.groupBy("role").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val roleDl = tf.groupBy("role").agg(sum("tf").as("sumdl")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byRole = roleN.map { case (role, n) =>
+      role -> (n, roleDl.getOrElse(role, 0L).toDouble / n)
+    }
     (stats, byRole)
   }
 

@@ -44,10 +44,6 @@ class IncrementalSpec extends AnyFunSuite {
     assert(tfIncr.exceptAll(tfFull).count() == 0 && tfFull.exceptAll(tfIncr).count() == 0,
       "incremental tf != full recompute")
 
-    val docsFull = IndexBuild.docsWithDl(docsRaw)
-    val docsIncr = IceLite.read(spark, Paths.get(root, "docs").toString)
-    assert(docsIncr.exceptAll(docsFull).count() == 0 && docsFull.exceptAll(docsIncr).count() == 0)
-
     // postings: decoded content must match a from-scratch segment build
     val idx = BuildPipeline.loadRelational(spark, root)
     val full = PostingIndex.build(spark, idx, shardSize = 256)

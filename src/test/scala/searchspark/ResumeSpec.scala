@@ -35,7 +35,7 @@ class ResumeSpec extends AnyFunSuite {
     val resumed = Files.createTempDirectory("idx-resume").toString
 
     val r1 = BuildPipeline.run(spark, corpus, cold, "gen:42:" + convs, partitions = 4)
-    assert(r1.ranStages.size == 7 && r1.skippedStages.isEmpty)
+    assert(r1.ranStages.size == 6 && r1.skippedStages.isEmpty)
 
     // killed build: crashes after the tf stage commits
     intercept[BuildPipeline.InjectedFailure] {
@@ -43,14 +43,14 @@ class ResumeSpec extends AnyFunSuite {
         partitions = 4, failAfter = Some("tf"))
     }
     val m = BuildPipeline.readManifest(resumed).get
-    assert(m.stages.contains("tf") && !m.stages.contains("docs"))
+    assert(m.stages.contains("tf") && !m.stages.contains("terms"))
 
     // resume: earlier stages skipped, rest run
     val r2 = BuildPipeline.run(spark, corpus, resumed, "gen:42:" + convs, partitions = 4)
     assert(r2.skippedStages == Seq("docs_raw", "tf"))
-    assert(r2.ranStages == Seq("docs", "terms", "terms_by_role", "stats", "postings"))
+    assert(r2.ranStages == Seq("terms", "terms_by_role", "stats", "postings"))
 
-    Seq("docs_raw", "tf", "docs", "terms", "terms_by_role", "postings").foreach { t =>
+    Seq("docs_raw", "tf", "terms", "terms_by_role", "postings").foreach { t =>
       assert(tableRows(cold, t) == tableRows(resumed, t), s"table $t differs")
     }
   }
@@ -59,7 +59,7 @@ class ResumeSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("idx-noop").toString
     BuildPipeline.run(spark, corpus, root, "gen:42:" + convs, partitions = 4)
     val r = BuildPipeline.run(spark, corpus, root, "gen:42:" + convs, partitions = 4)
-    assert(r.ranStages.isEmpty && r.skippedStages.size == 7)
+    assert(r.ranStages.isEmpty && r.skippedStages.size == 6)
   }
 
   test("changed params invalidate checkpoints (full rebuild)") {
@@ -67,14 +67,14 @@ class ResumeSpec extends AnyFunSuite {
     BuildPipeline.run(spark, corpus, root, "gen:42:" + convs, partitions = 4)
     val r = BuildPipeline.run(spark, corpus, root, "gen:42:" + convs,
       partitions = 4, shardSize = 128)
-    assert(r.ranStages.size == 7)
+    assert(r.ranStages.size == 6)
   }
 
   test("per-stage lineage records rows + elapsed + fingerprint") {
     val root = Files.createTempDirectory("idx-lineage").toString
     BuildPipeline.run(spark, corpus, root, "gen:42:" + convs, partitions = 4)
     val m = BuildPipeline.readManifest(root).get
-    assert(m.stages.keySet == Set("docs_raw", "tf", "docs", "terms",
+    assert(m.stages.keySet == Set("docs_raw", "tf", "terms",
       "terms_by_role", "stats", "postings"))
     m.stages.values.foreach { s =>
       assert(s.status == "done" && s.rows > 0 && s.fingerprint.nonEmpty)
