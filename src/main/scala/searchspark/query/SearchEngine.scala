@@ -26,9 +26,19 @@ final class SearchEngine private (
     val postings: Dataset[TermPostings],
     byShard: RDD[TermPostings]) {
 
+  /** Driver-side term→df dictionary cache: the index is an immutable
+    * snapshot, so df per term never changes for the lifetime of this
+    * facade. Repeat terms skip the term-stats Spark job entirely (2 jobs
+    * per warm query instead of 3 — scatter + hydration). Bounded: cleared
+    * if it ever exceeds MaxDfCache distinct terms. */
+  private val dfCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val MaxDfCache = 1 << 20
+
   def search(query: String, scope: Option[String] = None,
              offset: Int = 0, limit: Int = 20): SearchResult = scope match {
-    case None => Wand.searchPartitioned(spark, idx, byShard, query, offset, limit)
+    case None =>
+      if (dfCache.size > MaxDfCache) dfCache.clear()
+      Wand.searchPartitioned(spark, idx, byShard, query, offset, limit, Some(dfCache))
     case Some(_) => SearchService.search(spark, idx, query, scope, offset, limit)
   }
 

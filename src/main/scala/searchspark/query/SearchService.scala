@@ -28,9 +28,16 @@ object SearchService {
 
   /** Q1 driver side: analyze, look up scope-local df, drop unknown terms,
     * prune ≥0.85-df terms. Returns (survivingTermsAsc, dfMap, n, avgdl)
-    * or an error result. */
+    * or an error result.
+    *
+    * `dfCache`: optional driver-side term→df cache (a dictionary cache,
+    * standard in search serving). Safe because a BuiltIndex is an
+    * immutable snapshot; misses are stored as 0 so unknown terms also
+    * skip the Spark lookup on repeat. Unscoped path only — scope-local
+    * df is a different keyspace. */
   private[searchspark] def planTerms(
-      idx: BuiltIndex, query: String, scope: Option[String])
+      idx: BuiltIndex, query: String, scope: Option[String],
+      dfCache: Option[scala.collection.concurrent.Map[String, Long]] = None)
     : Either[SearchResult, (Seq[String], Map[String, Long], Long, Double)] = {
     if (query == null || query.trim.isEmpty)
       return Left(SearchResult(ok = false, 0, Nil, "Empty search query"))
@@ -47,14 +54,23 @@ object SearchService {
 
     // tiny collect: |q| rows of the term dictionary (reference Q1 joins
     // lemma⋈site with an IN-list, SearchingServiceImpl.java:235-257)
-    val dfMap: Map[String, Long] = (scope match {
+    def lookup(terms: Seq[String]): Map[String, Long] = (scope match {
       case None =>
-        idx.terms.filter(col("term").isInCollection(qTerms))
+        idx.terms.filter(col("term").isInCollection(terms))
           .select("term", "df").collect()
       case Some(r) =>
-        idx.termsByRole.filter(col("role") === r && col("term").isInCollection(qTerms))
+        idx.termsByRole.filter(col("role") === r && col("term").isInCollection(terms))
           .select("term", "df").collect()
     }).map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val dfMap: Map[String, Long] = (dfCache, scope) match {
+      case (Some(cache), None) =>
+        val (hit, miss) = qTerms.partition(cache.contains)
+        val fetched = if (miss.isEmpty) Map.empty[String, Long] else lookup(miss)
+        miss.foreach(t => cache.putIfAbsent(t, fetched.getOrElse(t, 0L)))
+        (hit.map(t => t -> cache(t)) ++ miss.map(t => t -> fetched.getOrElse(t, 0L))).toMap
+      case _ => lookup(qTerms)
+    }
 
     val surviving = qTerms
       .filter(t => dfMap.getOrElse(t, 0L) > 0L) // unknown-term silent drop

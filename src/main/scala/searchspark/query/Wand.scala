@@ -41,7 +41,7 @@ object Wand {
   def search(spark: SparkSession, idx: BuiltIndex,
              postings: Dataset[TermPostings], query: String,
              offset: Int = 0, limit: Int = 20): SearchResult =
-    searchWith(spark, idx, query, offset, limit) {
+    searchWith(spark, idx, query, offset, limit, None) {
       case (surviving, bIdf, bOrder, avgdl, k) =>
         val nTerms = surviving.size
         import spark.implicits._
@@ -61,9 +61,10 @@ object Wand {
     * partitioning, each partition groups its complete shards locally. */
   def searchPartitioned(spark: SparkSession, idx: BuiltIndex,
                         byShard: org.apache.spark.rdd.RDD[TermPostings],
-                        query: String, offset: Int = 0,
-                        limit: Int = 20): SearchResult =
-    searchWith(spark, idx, query, offset, limit) {
+                        query: String, offset: Int = 0, limit: Int = 20,
+                        dfCache: Option[scala.collection.concurrent.Map[String, Long]] = None)
+    : SearchResult =
+    searchWith(spark, idx, query, offset, limit, dfCache) {
       case (surviving, bIdf, bOrder, avgdl, k) =>
         val survSet = surviving.toSet
         val bSurv = spark.sparkContext.broadcast(survSet)
@@ -83,12 +84,13 @@ object Wand {
     }
 
   private def searchWith(spark: SparkSession, idx: BuiltIndex, query: String,
-                         offset: Int, limit: Int)(
+                         offset: Int, limit: Int,
+                         dfCache: Option[scala.collection.concurrent.Map[String, Long]])(
       scatter: ((Seq[String],
                  org.apache.spark.broadcast.Broadcast[Map[String, Double]],
                  org.apache.spark.broadcast.Broadcast[(Seq[String], Seq[String])],
                  Double, Int)) => Array[ShardTop]): SearchResult = {
-    SearchService.planTerms(idx, query, None) match {
+    SearchService.planTerms(idx, query, None, dfCache) match {
       case Left(err) => err
       case Right((surviving, dfMap, n, avgdl)) =>
         val k = offset + limit

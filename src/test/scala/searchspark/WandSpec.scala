@@ -49,6 +49,43 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("term-stats dictionary cache: warm query identical, one fewer Spark job") {
+    val engine = searchspark.query.SearchEngine(spark, idx, postings)
+    val q = QueryFixtures.deriveQueries(oracle).find(_.scope.isEmpty).get
+
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // listener delivery is async; wait until the count settles
+        var last = -1
+        var settle = 0
+        while (settle < 3) {
+          Thread.sleep(100)
+          if (jobs.get() == last) settle += 1 else { last = jobs.get(); settle = 0 }
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+
+    val cold = engine.search(q.query, None, q.offset, q.limit) // fills the cache
+    var warm: searchspark.model.SearchResult = null
+    val warmJobs = countJobs { warm = engine.search(q.query, None, q.offset, q.limit) }
+    assert(warm.count == cold.count)
+    assert(warm.hits.map(h => (h.docId, h.score)) == cold.hits.map(h => (h.docId, h.score)))
+    assert(warmJobs == 2, s"warm query should be scatter + hydration only, saw $warmJobs jobs")
+    // unknown terms are cached too (df=0) — still correct, still 2 jobs
+    val miss1 = engine.search(q.query + " qzzzznotaword", None, q.offset, q.limit)
+    val missJobs = countJobs { engine.search(q.query + " qzzzznotaword", None, q.offset, q.limit) }
+    assert(miss1.hits.map(_.docId) == cold.hits.map(_.docId)) // unknown-term silent drop
+    assert(missJobs == 2)
+  }
+
   test("WAND agrees at different shard sizes (shard layout is invisible)") {
     val p2 = PostingIndex.build(spark, idx, shardSize = 64).cache()
     try {
