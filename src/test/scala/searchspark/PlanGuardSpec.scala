@@ -1,0 +1,59 @@
+package searchspark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import searchspark.gen.TranscriptGen
+import searchspark.index.BuildPipeline
+import searchspark.ops.TextOps
+
+/** Physical-plan regression guard: the properties that make the plans
+  * survive a 100× scale-up are asserted, not just eyeballed (BENCH.md
+  * "Physical-plan audit"). If a refactor silently introduces a global
+  * sort, a shuffle join on the query path, or breaks scan pushdown,
+  * this fails before any benchmark notices. */
+class PlanGuardSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("TF plan: one shuffle, codegen-able Catalyst analyzer, pruned scan") {
+    val p = plan(TextOps.tf(TextOps.documents(spark, sfDir)))
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+      s"TF must be a single partial+final agg shuffle:\n$p")
+    assert(p.contains("Generate"), "tokenizer must be explode, not a UDTF")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "analyzer must stay pure Catalyst (codegen), no UDF in the hot path")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to the 2 used columns of the 5-column table")
+  }
+
+  test("bm25_topk plan: broadcast-only joins, top-k without global sort") {
+    val p = plan(TextOps.bm25TopK(TextOps.documents(spark, sfDir),
+      Seq("dup", "key", "vector"), 20))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be per-partition heaps + driver merge, not Sort+Limit")
+    assert(p.contains("BroadcastHashJoin"), "stats joins must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffle/cartesian join on the query path:\n$p")
+  }
+
+  test("persisted postings scan: query-term filter pushed to parquet") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("planguard").toString
+    BuildPipeline.run(spark,
+      spark.createDataset(TranscriptGen.localCorpus(42L, 10)),
+      root, "gen:42:10", partitions = 2)
+    val p = plan(BuildPipeline.loadPostings(spark, root)
+      .filter(col("term").isInCollection(Seq("w0001", "w0002"))).toDF())
+    assert(p.contains("PushedFilters: [In(term, [w0001,w0002])]"),
+      s"term filter must reach the parquet scan (row-group pruning):\n$p")
+  }
+}
