@@ -62,7 +62,12 @@ object Bench {
     val p50 = lat(lat.size / 2)
     val p95 = lat(math.min(lat.size - 1, (lat.size * 95) / 100))
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"build_turns":${idx.stats.totalTurns},"build_sec":${f"$buildSec%.2f"},"build_turns_per_sec":${f"$turnsPerSec%.0f"},"postings_rows":$nPostings,"query_p50_ms":${f"$p50%.1f"},"query_p95_ms":${f"$p95%.1f"}}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"build_turns":${idx.stats.totalTurns},"build_sec":${f"$buildSec%.2f"},"build_turns_per_sec":${f"$turnsPerSec%.0f"},"postings_rows":$nPostings,"query_p50_ms":${f"$p50%.1f"},"query_p95_ms":${f"$p95%.1f"}}"""
+    println(json)
+    // stable on-disk copy (stdout additionally carries sbt noise when the
+    // run is wrapped; BENCH_r01.json came back "parsed": null)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RESULT.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -73,7 +73,19 @@ object IceLite {
              props: Map[String, String] = Map.empty,
              partitions: Option[Int] = None): Snapshot = {
     val parent = currentSnapshot(table)
-    val snapshotId = parent.map(_.snapshotId + 1).getOrElse(0L)
+    // next id = max existing v*.json + 1, NOT parent+1: a crash between
+    // the v<id>.json rename and the current-pointer rename leaves a
+    // committed-but-unreferenced v<id>.json; parent+1 would collide with
+    // it forever (errorifexists on its data dir). Deriving from max
+    // skips over such orphans (they stay readable via time travel).
+    val snapshotId = {
+      val md = metaDir(table)
+      val existing = if (!Files.exists(md)) Seq.empty[Long]
+        else Files.list(md).iterator().asScala.map(_.getFileName.toString)
+          .collect { case s if s.matches("v\\d+\\.json") => s.stripPrefix("v").stripSuffix(".json").toLong }
+          .toSeq
+      (existing ++ parent.map(_.snapshotId)).foldLeft(-1L)(math.max) + 1
+    }
     val dataDir = Paths.get(table, "data", s"snap-$snapshotId")
     // a data dir without a committed v<id>.json is debris from a crashed
     // writer (commit is only durable once the metadata swap happened) —
@@ -85,18 +97,19 @@ object IceLite {
     val out = partitions.map(df.repartition(_)).getOrElse(df)
     out.write.mode("errorifexists").parquet(dataDir.toString)
 
-    // per-file lineage: every part file is one build partition's output;
-    // one job for all row counts (not a per-file driver loop)
-    import org.apache.spark.sql.functions.input_file_name
-    val rowsByFile = spark.read.parquet(dataDir.toString)
-      .groupBy(input_file_name().as("f")).count().collect()
-      .map(r => r.getString(0).replaceFirst("^file:/*", "/") -> r.getLong(1))
-      .toMap
+    // per-file lineage row counts from parquet FOOTER metadata only — no
+    // second scan of the data just written (at a 100 TB commit a re-read
+    // for counting would double the write cost; footers are O(KB/file))
+    val hconf = spark.sessionState.newHadoopConf()
     val files = Files.list(dataDir).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.getFileName.toString)
       .map { p =>
-        FileEntry(p.toString, Files.size(p), rowsByFile.getOrElse(p.toString, 0L))
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toString), hconf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val rows = try reader.getRecordCount finally reader.close()
+        FileEntry(p.toString, Files.size(p), rows)
       }
     val snap = Snapshot(snapshotId, parent.map(_.snapshotId).getOrElse(-1L),
       operation, files.map(_.rows).sum, files, props)

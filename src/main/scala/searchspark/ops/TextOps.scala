@@ -116,7 +116,7 @@ object TextOps {
     val dfMap = dfRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val surviving = terms.sorted
       .filter(x => dfMap.getOrElse(x, 0L) > 0)
-      .filter(x => dfMap(x).toDouble / n < Scoring.PruneThreshold)
+      .filter(x => Scoring.survivesPrune(dfMap(x), n))
     val idfCol = surviving.foldLeft(lit(0.0)) { (acc, x) =>
       when(col("term") === x, lit(Scoring.idf(dfMap(x), n))).otherwise(acc)
     }

@@ -76,7 +76,7 @@ final class ScalarOracle(turns: Seq[Turn]) {
     val known = qTerms.filter(t => dfMap(t) > 0)
 
     // 0.85 stopword-threshold prune (SearchingServiceImpl.java:254)
-    val surviving = known.filter(t => dfMap(t).toDouble / n < Scoring.PruneThreshold)
+    val surviving = known.filter(t => Scoring.survivesPrune(dfMap(t), n))
     if (surviving.isEmpty)
       return SearchResult(ok = false, 0, Nil, "Nothing found")
 

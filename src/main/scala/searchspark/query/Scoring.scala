@@ -27,6 +27,12 @@ object Scoring {
   /** Query-time stopword prune threshold (SearchingServiceImpl.java:254). */
   val PruneThreshold = 0.85
 
+  /** The 0.85 prune in exact integer arithmetic (df·100 < 85·N), the
+    * same form as the oracle SQL's `df * 100 < 85 * n` — a double
+    * division could disagree with it exactly at the threshold. Single
+    * source of truth for the oracle, parity, and WAND paths. */
+  def survivesPrune(df: Long, n: Long): Boolean = df * 100 < 85 * n
+
   def idf(df: Long, n: Long): Double =
     math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 

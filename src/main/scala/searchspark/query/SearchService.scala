@@ -74,7 +74,7 @@ object SearchService {
 
     val surviving = qTerms
       .filter(t => dfMap.getOrElse(t, 0L) > 0L) // unknown-term silent drop
-      .filter(t => dfMap(t).toDouble / n < Scoring.PruneThreshold) // 0.85 prune
+      .filter(t => Scoring.survivesPrune(dfMap(t), n)) // 0.85 prune, integer form
     if (surviving.isEmpty)
       Left(SearchResult(ok = false, 0, Nil, "Nothing found"))
     else Right((surviving, dfMap, n, avgdl))

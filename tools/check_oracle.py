@@ -45,9 +45,12 @@ def main(sf_dir, out_dir):
             print(f"MISSING  {name}: no spark parquet output")
             n_fail += 1
             continue
-        tbl = pq.read_table(files[0])
-        s_cols = tbl.column_names
-        s_rows = [tuple(row[c] for c in s_cols) for row in tbl.to_pylist()]
+        s_rows = []
+        s_cols = None
+        for f in sorted(files):
+            tbl = pq.read_table(f)
+            s_cols = tbl.column_names
+            s_rows.extend(tuple(row[c] for c in s_cols) for row in tbl.to_pylist())
         try:
             res = con.execute(sql)
             d_cols = [d[0] for d in res.description]
