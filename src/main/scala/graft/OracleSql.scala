@@ -290,6 +290,31 @@ object OracleSql {
         |WHERE floor(list_inner_product(x.v, y.v) / (x.norm * y.norm) * 10000) >= 4500
         |ORDER BY a, b""".stripMargin,
 
+    // hyperplane-LSH near-dup pairs: DuckDB replicates the WHOLE pipeline
+    // (md5-derived hyperplanes → sign bits → band join → exact rescore),
+    // so the hash check pins the LSH plan itself, not just its input.
+    // 2^59 = 576460752303423488 centers the 60-bit hash on zero.
+    "dedup_embed_lsh" ->
+      s"""WITH n AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |nn AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM n),
+         |vd AS (SELECT vec_id, v, unnest(generate_series(0, len(v) - 1)) AS d FROM nn),
+         |sigx AS (
+         |  SELECT vec_id, p,
+         |         CASE WHEN sum(v[d + 1] * (('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 15))::UBIGINT::BIGINT
+         |                                   - 576460752303423488)) >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM vd CROSS JOIN (SELECT unnest(generate_series(0, ${searchspark.ops.SimOps.LshPlanes - 1})) AS p) ps
+         |  GROUP BY vec_id, p),
+         |bx AS (SELECT vec_id, (p // ${searchspark.ops.SimOps.LshRowsPerBand}) AS band,
+         |              string_agg(bit::VARCHAR, '' ORDER BY p) AS key
+         |       FROM sigx GROUP BY vec_id, p // ${searchspark.ops.SimOps.LshRowsPerBand}),
+         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |         FROM bx x JOIN bx y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
+         |SELECT c.a, c.b,
+         |       floor(list_inner_product(xa.v, xb.v) / (xa.norm * xb.norm) * 10000)::BIGINT AS cos_e4
+         |FROM cand c JOIN nn xa ON xa.vec_id = c.a JOIN nn xb ON xb.vec_id = c.b
+         |WHERE floor(list_inner_product(xa.v, xb.v) / (xa.norm * xb.norm) * 10000) >= ${math.round(EmbedDupThreshold * 1e4)}
+         |ORDER BY a, b""".stripMargin,
+
     "media_meta" ->
       """SELECT doc_id, strlen(text)::BIGINT AS n_bytes, ascii(substr(text, 1, 1))::INT AS first_byte,
         |       'txt' AS fmt

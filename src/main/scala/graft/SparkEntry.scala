@@ -52,6 +52,7 @@ object SparkEntry {
     "text_simhash" -> ((s, d) => SimOps.simhash(TextOps.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => SimOps.simhashPairs(TextOps.documents(s, d))),
     "dedup_embed_cosine" -> ((s, d) => SimOps.embedCosinePairs(SimOps.embeddings(s, d), OracleSql.EmbedDupThreshold)),
+    "dedup_embed_lsh" -> ((s, d) => SimOps.embedLshPairs(SimOps.embeddings(s, d), OracleSql.EmbedDupThreshold)),
     // — similarity search —
     "ann_cosine_topk" -> ((s, d) => SimOps.annTopK(SimOps.embeddings(s, d), 0L, 10)),
     "ann_ivf" -> ((s, d) => SimOps.annIvf(SimOps.embeddings(s, d), 0L, 10)),

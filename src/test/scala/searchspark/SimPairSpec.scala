@@ -1,0 +1,68 @@
+package searchspark
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import searchspark.ops.{SimOps, TextOps}
+
+/** The similarity-op scale paths must be (a) bucketed — no Cartesian
+  * node in the plan — and (b) output-identical to their all-pairs
+  * oracles (simhash blocking is exact by pigeonhole; the chunk-pair
+  * cosine kernel is exact by construction; hyperplane LSH is exact on a
+  * planted near-dup fixture where the threshold has margin). */
+class SimPairSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("simhashPairs segment blocking == all-pairs, no cartesian in plan") {
+    val docs = TextOps.documents(spark, sfDir)
+    val blocked = SimOps.simhashPairs(docs)
+    assert(rows(blocked) == rows(SimOps.simhashPairsAllPairs(docs)))
+    val p = plan(blocked)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"segment blocking must be an equi-join:\n$p")
+  }
+
+  test("embedCosinePairs chunk kernel == all-pairs Catalyst form, no cartesian") {
+    val emb = SimOps.embeddings(spark, sfDir)
+    val chunked = SimOps.embedCosinePairs(emb, 0.45)
+    assert(rows(chunked) == rows(SimOps.embedCosinePairsAllPairs(emb, 0.45)))
+    val p = plan(chunked)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"chunk-pair kernel must be an equi-join on the chunk-pair key:\n$p")
+  }
+
+  /** Planted near-dup fixture: 30 base vectors + a close copy of each
+    * (cosine ≥ ~0.999) among 64-dim noise. Deterministic seed. */
+  private def plantedEmb(): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 30).flatMap { i =>
+      val base = vec()
+      val dup = base.map(x => x + (rnd.nextGaussian() * 0.02).toFloat)
+      Seq((i.toLong * 2, i, base.toSeq), (i.toLong * 2 + 1, i, dup.toSeq))
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "label", "embedding")
+  }
+
+  test("embedLshPairs: exact on planted near-dups at thr=0.9, bucketed plan") {
+    val emb = plantedEmb()
+    val lsh = SimOps.embedLshPairs(emb, 0.9)
+    val exact = SimOps.embedCosinePairs(emb, 0.9)
+    assert(rows(lsh) == rows(exact),
+      "LSH must recover every planted pair (margin regime) and nothing else")
+    assert(exact.count() >= 30, "fixture must actually contain the planted pairs")
+    val p = plan(lsh)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidates must come from the band equi-join:\n$p")
+  }
+}
