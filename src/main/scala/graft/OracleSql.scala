@@ -255,27 +255,20 @@ object OracleSql {
         |FROM nn WHERE vec_id <> 0
         |ORDER BY cos_e4 DESC, vec_id LIMIT 10""".stripMargin,
 
+    // oracle = exact brute-force top-k: the IVF index (k-means codebook
+    // + persisted assignment, nProbe=6/16 buckets probed) must return
+    // the TRUE top-10 — the hash check IS the recall assertion
+    // (IvfSpec pins it across sf dirs and nProbe values).
     "ann_ivf" ->
       """WITH n AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
         |  FROM embeddings
         |),
         |nn AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS norm FROM n),
-        |c AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM nn WHERE vec_id < 8),
-        |sc AS (SELECT nn.vec_id, c.cid,
-        |              floor(list_inner_product(nn.v, c.cv) / (nn.norm * c.cnorm) * 1000000)::BIGINT AS cos_c
-        |       FROM nn CROSS JOIN c),
-        |asg AS (SELECT vec_id, cid AS cluster FROM
-        |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS rn FROM sc)
-        |        WHERE rn = 1),
-        |probes AS (SELECT cid AS cluster FROM
-        |           (SELECT cid, row_number() OVER (ORDER BY cos_c DESC, cid) AS rn FROM sc WHERE vec_id = 0)
-        |           WHERE rn <= 2),
-        |ids AS (SELECT vec_id FROM asg JOIN probes USING (cluster) WHERE vec_id <> 0),
         |q AS (SELECT v, norm FROM nn WHERE vec_id = 0)
-        |SELECT nn.vec_id, nn.label,
-        |       floor(list_inner_product(nn.v, (SELECT v FROM q)) / (nn.norm * (SELECT norm FROM q)) * 10000)::BIGINT AS cos_e4
-        |FROM nn JOIN ids USING (vec_id)
+        |SELECT vec_id, label,
+        |       floor(list_inner_product(v, (SELECT v FROM q)) / (norm * (SELECT norm FROM q)) * 10000)::BIGINT AS cos_e4
+        |FROM nn WHERE vec_id <> 0
         |ORDER BY cos_e4 DESC, vec_id LIMIT 10""".stripMargin,
 
     "dedup_embed_cosine" ->

@@ -55,7 +55,7 @@ object SparkEntry {
     "dedup_embed_lsh" -> ((s, d) => SimOps.embedLshPairs(SimOps.embeddings(s, d), OracleSql.EmbedDupThreshold)),
     // — similarity search —
     "ann_cosine_topk" -> ((s, d) => SimOps.annTopK(SimOps.embeddings(s, d), 0L, 10)),
-    "ann_ivf" -> ((s, d) => SimOps.annIvf(SimOps.embeddings(s, d), 0L, 10)),
+    "ann_ivf" -> ((s, d) => searchspark.ops.Ivf.annIvf(s, d, 0L, 10)),
     // — text analysis —
     "text_langid" -> ((s, d) => TextOps.langId(TextOps.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(TextOps.documents(s, d))),

@@ -175,44 +175,7 @@ object SimOps {
       .limit(k)
   }
 
-  /** IVF-bucketed ANN (the scale path): centroids = first `nCentroids`
-    * vectors (deterministic stand-in for k-means — the bucketing
-    * plumbing, not the codebook, is what scales); assign every vector to
-    * its max-cosine centroid; probe the query's top-`nProbe` centroids;
-    * exact top-k within probed buckets. At 100 TB: assignment is one
-    * broadcast-join scan, search touches nProbe/nCentroids of the data. */
-  def annIvf(emb: DataFrame, queryVecId: Long, k: Int,
-             nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-    val withD = emb
-      .withColumn("emb_d", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("norm", sqrt(expr(
-        "aggregate(transform(emb_d, x -> x * x), cast(0.0 as double), (a, x) -> a + x)")))
-    val scored = withD.crossJoin(broadcast(cents))
-      .withColumn("c_d", expr("transform(cemb, x -> cast(x as double))"))
-      .withColumn("cnorm", sqrt(expr(
-        "aggregate(transform(c_d, x -> x * x), cast(0.0 as double), (a, x) -> a + x)")))
-      .withColumn("cos_c", floor(expr(
-        "aggregate(zip_with(emb_d, c_d, (x, y) -> x * y), cast(0.0 as double), (a, x) -> a + x)") /
-        (col("norm") * col("cnorm")) * 1000000.0).cast("long"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cid").asc)
-    val assigned = scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("cluster"))
-    val probes = scored.filter(col("vec_id") === queryVecId)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nProbe)
-      .select(col("cid").as("cluster"))
-    val inProbed = assigned.join(broadcast(probes), Seq("cluster"))
-      .filter(col("vec_id") =!= queryVecId)
-      .select("vec_id")
-    annTopKWithin(emb, inProbed, queryVecId, k)
-  }
-
-  private def annTopKWithin(emb: DataFrame, ids: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+  private[ops] def annTopKWithin(emb: DataFrame, ids: DataFrame, queryVecId: Long, k: Int): DataFrame = {
     val q = emb.filter(col("vec_id") === queryVecId)
       .select("embedding").head.getSeq[Float](0).toArray
     val qNorm = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
