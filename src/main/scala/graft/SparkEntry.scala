@@ -29,6 +29,7 @@ object SparkEntry {
     "b2b3_token_filter" -> ((s, d) => TextOps.tokensFiltered(TextOps.documents(s, d)).orderBy("doc_id", "tok")),
     "b4_lemmatize" -> ((s, d) => TextOps.lemmaMapping(TextOps.documents(s, d))),
     "b5_tf" -> ((s, d) => TextOps.tf(TextOps.documents(s, d)).orderBy("doc_id", "term")),
+    "c5_zone_weighted_tf" -> ((s, d) => TextOps.zoneWeightedTf(TextOps.documents(s, d))),
     "c6_doc_stats" -> ((s, d) => TextOps.docLengths(TextOps.documents(s, d)).orderBy("doc_id")),
     // — query-side relational stages (SURVEY §2.3 Q1–Q3, Q6–Q7; §2.4 C11) —
     "q1_stopword_prune" -> ((s, d) => {

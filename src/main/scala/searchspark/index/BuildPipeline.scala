@@ -8,7 +8,7 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import searchspark.model.{TermPostings, Turn}
+import searchspark.model.{TermPostings, Turn, ZoneConfig}
 
 /** Checkpointed, resumable index build (SURVEY.md §7.5.3; the batch
   * replacement for the reference's INDEXING→INDEXED/FAILED site
@@ -77,12 +77,26 @@ object BuildPipeline {
 
   /** Run (or resume) the build into `root`. `failAfter` injects a crash
     * after the named stage commits — the resume-test hook. */
+  /** Encode/decode the zone config for manifest params (shared with
+    * Incremental, which must analyze deltas under the build's config). */
+  def zonesParam(zones: Option[ZoneConfig]): String =
+    zones.map(z => s"${z.titleTokens}:${z.titleWeightE1}:${z.bodyWeightE1}")
+      .getOrElse("none")
+  def parseZones(s: String): Option[ZoneConfig] = s match {
+    case "none" | null | "" => None
+    case v =>
+      val Array(t, tw, bw) = v.split(":")
+      Some(ZoneConfig(t.toInt, tw.toInt, bw.toInt))
+  }
+
   def run(spark: SparkSession, turns: Dataset[Turn], root: String,
           inputId: String, partitions: Int,
           shardSize: Int = PostingIndex.DefaultShardSize,
-          failAfter: Option[String] = None): BuildReport = {
+          failAfter: Option[String] = None,
+          zones: Option[ZoneConfig] = None): BuildReport = {
     val params = Map("partitions" -> partitions.toString,
-      "shardSize" -> shardSize.toString, "codec" -> "delta-varint-v1")
+      "shardSize" -> shardSize.toString, "codec" -> "delta-varint-v2",
+      "zones" -> zonesParam(zones))
     val fp = s"$inputId|${params.toSeq.sorted.mkString(",")}"
 
     var manifest = readManifest(root) match {
@@ -124,7 +138,7 @@ object BuildPipeline {
 
     lazy val docsRaw = IceLite.read(spark, table("docs_raw"))
     stage("tf") {
-      IceLite.commit(spark, IndexBuild.tfFromDocs(docsRaw), table("tf")).totalRows
+      IceLite.commit(spark, IndexBuild.tfFromDocs(docsRaw, zones), table("tf")).totalRows
     }
 
     lazy val tf = IceLite.read(spark, table("tf"))

@@ -31,12 +31,11 @@ import searchspark.model.Turn
   * is strictly delta. Every table lands as a new IceLite snapshot, so a
   * reader mid-update sees the old index atomically.
   *
-  * Caveat (documented): block maxScore metadata embeds idf/avgdl from
-  * build time; after an append those drift. Reused blocks keep their
-  * old maxScore — still an upper bound as long as df only grows (idf
-  * shrinks) and avgdl grows, and Wand re-scores exactly anyway; the
-  * fixture asserts equality against a full recompute, which rebuilds
-  * every block, by comparing decoded postings (not block metadata).
+  * Reused shards stay SOUND under stat drift: blocks carry raw
+  * (maxTfE1, minDl) and Wand derives pruning bounds at query time from
+  * the post-append idf/avgdl (Scoring.blockBound) — there is no baked
+  * maxScore to go stale (round-1 ADVICE fix: a build-time bound ceases
+  * to be an upper bound when avgdl grows or a term's df shrinks).
   */
 object Incremental {
 
@@ -47,10 +46,24 @@ object Incremental {
              partitions: Int, shardSize: Int = PostingIndex.DefaultShardSize): Report = {
     def table(name: String) = Paths.get(root, name).toString
     val docsRawOld = IceLite.read(spark, table("docs_raw"))
+    // analyze the delta under the BUILD's zone config (manifest param)
+    val zones = BuildPipeline.readManifest(root)
+      .flatMap(_.params.get("zones")).flatMap(BuildPipeline.parseZones)
 
-    val indexable = newTurns
+    // same deterministic key-dedup as the cold build (DocIds.assign):
+    // a delta batch repeating a (conv_id, turn_idx) key would otherwise
+    // produce multiple docs_raw rows sharing one docId, breaking the
+    // tf-rows-unique-per-(docId, term) invariant df/conjunctive/codec
+    // all rely on
+    val indexable0 = newTurns
       .filter((t: Turn) => t.text != null && t.text.trim.nonEmpty)
-    val newDf = indexable.toDF()
+    val newDf = indexable0.toDF()
+      .groupBy("conv_id", "turn_idx")
+      .agg(max(struct(col("ts"), col("role"), col("tool"), col("text"))).as("v"))
+      .select(col("conv_id"), col("turn_idx"),
+        col("v.role").as("role"), col("v.tool").as("tool"),
+        col("v.ts").as("ts"), col("v.text").as("text"))
+    val indexable = newDf.as[Turn](newTurns.encoder)
 
     val oldKeys = docsRawOld.select(col("docId"), col("conv_id"), col("turn_idx"))
     // replaced: keep the existing docId, take the new payload
@@ -82,7 +95,7 @@ object Incremental {
     // delta TF: only touched docs re-analyzed; untouched tf rows reused
     val tfOld = IceLite.read(spark, table("tf"))
     val tfDelta = IndexBuild.tfFromDocs(
-      docsRaw.join(touched, Seq("docId"))) // re-read: snapshot-consistent text
+      docsRaw.join(touched, Seq("docId")), zones) // re-read: snapshot-consistent text
     val tfNew = tfOld.join(touched, Seq("docId"), "left_anti").unionByName(tfDelta)
     IceLite.commit(spark, tfNew, table("tf"), operation = "append")
     val tf = IceLite.read(spark, table("tf"))

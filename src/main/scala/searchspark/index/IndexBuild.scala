@@ -4,23 +4,32 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import searchspark.analyze.Analyzer
-import searchspark.model.Turn
+import searchspark.model.{Turn, ZoneConfig}
+import searchspark.query.Scoring
 
 /** Global scalar corpus statistics (broadcast at query time — the
   * reference recomputes page_count per query via CTE,
-  * SearchingServiceImpl.java:240-243; we compute once per snapshot). */
+  * SearchingServiceImpl.java:240-243; we compute once per snapshot).
+  * `avgdl` is in dlE1 units (×10-scaled weighted doc length); the
+  * dl/avgdl ratio BM25 consumes is scale-invariant. */
 final case class CorpusStats(n: Long, avgdl: Double, totalTurns: Long, skippedBlank: Long)
 
 /** The built index, as DataFrames (persist via IceLite, or cache for
   * tests). Replaces the reference's page/lemma/`index` MySQL tables
   * (SURVEY.md §1.1) with columnar, partition-friendly layouts. */
 final case class BuiltIndex(
-    docs: DataFrame,        // docId, conv_id, turn_idx, role, tool, ts, text, dl
-    tf: DataFrame,          // docId, term, tf   (the uncompressed posting rows)
+    docs: DataFrame,        // docId, conv_id, turn_idx, role, tool, ts, text
+    tf: DataFrame,          // docId, role, dlE1, term, tfE1 (uncompressed postings)
     terms: DataFrame,       // term, termId, df, cf        (global dictionary)
     termsByRole: DataFrame, // role, term, df              (scope-local df)
     stats: CorpusStats,
-    statsByRole: Map[String, (Long, Double)]) { // role -> (N, avgdl)
+    statsByRole: Map[String, (Long, Double)]) { // role -> (N, avgdlE1)
+
+  /** Compact role ids for the posting codec / scoped scans: rank in the
+    * sorted distinct-role list (derived from statsByRole — no Spark job,
+    * survives BuildPipeline persistence via stats.json). */
+  lazy val roleIds: Map[String, Int] =
+    statsByRole.keys.toSeq.sorted.zipWithIndex.toMap
 
   def cache(): BuiltIndex = {
     docs.cache(); tf.cache(); terms.cache(); termsByRole.cache(); this
@@ -58,36 +67,60 @@ object IndexBuild {
     * B1-B4 as pure Catalyst expressions: explode raw tokens, filter
     * B2 (short) + B3 (stop), map B4 (lemma). Whole-stage codegen'd.
     *
-    * `role` and `dl` (both functionally dependent on docId; dl computed
-    * NARROWLY via Analyzer.dlCol) ride along as grouping columns so the
-    * query path and the segment build never join the 10^?-row TF table
+    * tf is stored as tfE1 = ×10-scaled weighted tf (Scoring.TfScaleE1):
+    * single-zone builds store 10·count (scoring divides back exactly);
+    * a ZoneConfig reproduces the reference's C5 weighted-rank semantics
+    * (rank = tfBody·0.8 if the term appears in body, else tfTitle·1.0 —
+    * the reference's body-overwrites-title rule, Link.java:209-216)
+    * via one posexplode and two conditional counts — still one shuffle.
+    *
+    * `role` and `dlE1` (both functionally dependent on docId) ride along
+    * so the query path and the segment build never join the TF table
     * back to docs — at bench scale that removed two ~20M-row shuffle
     * joins from the critical path. */
-  def tfFromDocs(docsRaw: DataFrame): DataFrame = {
+  def tfFromDocs(docsRaw: DataFrame, zones: Option[ZoneConfig] = None): DataFrame = {
     val tok = col("tok")
-    val tf0 = docsRaw
-      .select(col("docId"), col("role"), explode(Analyzer.tokensCol(col("text"))).as("tok"))
-      .filter(length(tok) > 1 || tok.isInCollection(Analyzer.KeepShort.toSeq.sorted))
-      .filter(!tok.isInCollection(Analyzer.Stopwords.toIndexedSeq))
-      .select(col("docId"), col("role"), Analyzer.lemmaCol(tok).as("term"))
-      .groupBy(col("docId"), col("role"), col("term"))
-      .agg(count(lit(1)).cast("int").as("tf"))
-    // dl = Σ tf per doc, joined back onto the SKINNY tf rows (never the
-    // texts table): at bench scale the dl side auto-broadcasts; at
+    val tf0 = zones match {
+      case None =>
+        docsRaw
+          .select(col("docId"), col("role"), explode(Analyzer.tokensCol(col("text"))).as("tok"))
+          .filter(length(tok) > 1 || tok.isInCollection(Analyzer.KeepShort.toSeq.sorted))
+          .filter(!tok.isInCollection(Analyzer.Stopwords.toIndexedSeq))
+          .select(col("docId"), col("role"), Analyzer.lemmaCol(tok).as("term"))
+          .groupBy(col("docId"), col("role"), col("term"))
+          .agg((count(lit(1)) * Scoring.TfScaleE1).cast("int").as("tfE1"))
+      case Some(z) =>
+        docsRaw
+          .select(col("docId"), col("role"),
+            posexplode(Analyzer.tokensCol(col("text"))).as(Seq("pos", "tok")))
+          .filter(length(tok) > 1 || tok.isInCollection(Analyzer.KeepShort.toSeq.sorted))
+          .filter(!tok.isInCollection(Analyzer.Stopwords.toIndexedSeq))
+          .select(col("docId"), col("role"),
+            (col("pos") < z.titleTokens).as("isTitle"),
+            Analyzer.lemmaCol(tok).as("term"))
+          .groupBy(col("docId"), col("role"), col("term"))
+          .agg(sum(when(col("isTitle"), 1L).otherwise(0L)).as("tfT"),
+            sum(when(col("isTitle"), 0L).otherwise(1L)).as("tfB"))
+          .select(col("docId"), col("role"), col("term"),
+            when(col("tfB") > 0, col("tfB") * z.bodyWeightE1)
+              .otherwise(col("tfT") * z.titleWeightE1).cast("int").as("tfE1"))
+    }
+    // dlE1 = Σ tfE1 per doc, joined back onto the SKINNY tf rows (never
+    // the texts table): at bench scale the dl side auto-broadcasts; at
     // cluster scale it's a shuffle join of two narrow tables. (A narrow
     // per-row dl recompute was tried and reverted: higher-order filter()
     // lambdas are interpreted, not codegen'd — it made TF 4x slower.)
-    val dl = tf0.groupBy("docId").agg(sum("tf").as("dl"))
+    val dl = tf0.groupBy("docId").agg(sum("tfE1").as("dlE1"))
     tf0.join(dl, Seq("docId"))
-      .select("docId", "role", "dl", "term", "tf")
+      .select("docId", "role", "dlE1", "term", "tfE1")
   }
 
   /** Stage: term dictionary — df = distinct docs (tf rows are unique per
-    * (docId, term)), cf = Σ tf; termId = rank in term sort order
-    * (stable across parallelism, same zipWithIndex argument as DocIds). */
+    * (docId, term)), cf = Σ tfE1 (E1 units); termId = rank in term sort
+    * order (stable across parallelism, same zipWithIndex as DocIds). */
   def termDict(spark: SparkSession, tf: DataFrame, partitions: Int): DataFrame = {
     val termAgg = tf.groupBy("term")
-      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .agg(count(lit(1)).as("df"), sum("tfE1").as("cf"))
     ZipIndex.withRank(termAgg, Seq(col("term")),
         math.max(1, partitions / 4), "termId")
       .select("term", "termId", "df", "cf")
@@ -100,7 +133,8 @@ object IndexBuild {
 
   /** Build the index over a transcript Dataset. `partitions` sizes the
     * range shuffle for docId assignment (≈ input split count). */
-  def build(spark: SparkSession, turns: Dataset[Turn], partitions: Int): BuiltIndex = {
+  def build(spark: SparkSession, turns: Dataset[Turn], partitions: Int,
+            zones: Option[ZoneConfig] = None): BuiltIndex = {
     // Cache discipline is what makes the build scale with cores: without
     // it every downstream job (TF shuffle, dl join, dict, stats,
     // segments) re-runs the whole upstream lineage — source scan +
@@ -122,7 +156,7 @@ object IndexBuild {
     // second cache would hold the texts twice
     val docsRaw = DocIds.assign(spark, turnsCached, partitions)
     if (timing) phase("docIds")(docsRaw.count())
-    val tf = tfFromDocs(docsRaw).cache()
+    val tf = tfFromDocs(docsRaw, zones).cache()
     if (timing) phase("tf")(tf.count())
     val terms = termDict(spark, tf, partitions)
     if (timing) phase("dict")(terms.count())
@@ -133,13 +167,13 @@ object IndexBuild {
     BuiltIndex(docsRaw, tf, terms, byRoleDf, stats, byRole)
   }
 
-  /** Global + per-role scalar stats. avgdl = exact Long sum / count (NOT
-    * avg(): Double partial sums are order-dependent across parallelism;
-    * Long sums are exact, so this is bit-identical to the oracle and
-    * across cluster sizes). dl sums come from the tf rows (one tf row
-    * per (doc, term), dl functionally dependent on docId → use Σ tf
-    * which equals Σ_docs dl; zero-term docs contribute 0 and are counted
-    * via docsRaw). */
+  /** Global + per-role scalar stats. avgdl (E1 units) = exact Long sum /
+    * count (NOT avg(): Double partial sums are order-dependent across
+    * parallelism; Long sums are exact, so this is bit-identical to the
+    * oracle and across cluster sizes). dl sums come from the tf rows
+    * (one tf row per (doc, term), dlE1 functionally dependent on docId →
+    * use Σ tfE1 which equals Σ_docs dlE1; zero-term docs contribute 0
+    * and are counted via docsRaw). */
   def corpusStats(docsRaw: DataFrame, tf: DataFrame, totalTurns: Long)
     : (CorpusStats, Map[String, (Long, Double)]) = {
     // Two jobs total (global scalars derived from the per-role rollups):
@@ -147,7 +181,7 @@ object IndexBuild {
     // every cluster size — pure Amdahl loss on the scaling criterion.
     val roleN = docsRaw.groupBy("role").agg(count(lit(1)).as("n")).collect()
       .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
-    val roleDl = tf.groupBy("role").agg(sum("tf").as("sumdl")).collect()
+    val roleDl = tf.groupBy("role").agg(sum("tfE1").as("sumdl")).collect()
       .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
     val nDocs = roleN.valuesIterator.sum
     val sumDl = roleDl.valuesIterator.sum

@@ -4,12 +4,11 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import searchspark.model.TermPostings
-import searchspark.query.Scoring
 
 /** Row shape feeding the segment encoder. */
 final case class PostingRowFlat(
     shard: Int, termId: Long, term: String, df: Long,
-    docId: Long, tf: Int, dl: Long)
+    docId: Long, tfE1: Int, dlE1: Long, roleId: Int)
 
 /** The compressed, sharded posting-list index (SURVEY.md §3.2 build
   * dataflow): shard = docId range (docId / shardSize), so
@@ -39,23 +38,26 @@ object PostingIndex {
   def build(spark: SparkSession, idx: BuiltIndex,
             shardSize: Int = DefaultShardSize): Dataset[TermPostings] = {
     import spark.implicits._
-    val n = idx.stats.n
-    val avgdl = idx.stats.avgdl
-    val rows = idx.tf // carries role+dl — no docs join needed
+    // role → compact id as a literal CASE (roles are low-cardinality;
+    // avoids a join); blocks carry per-posting roleIds for scoped scans
+    val roleIdCol = idx.roleIds.toSeq.sortBy(_._1).foldLeft(lit(0)) {
+      case (acc, (r, id)) => when(col("role") === r, lit(id)).otherwise(acc)
+    }
+    val rows = idx.tf // carries role+dlE1 — no docs join needed
       .join(idx.terms.select(col("term"), col("termId"), col("df")), Seq("term"))
       .select(
         (col("docId") / shardSize).cast("int").as("shard"),
         col("termId"), col("term"), col("df"),
-        col("docId"), col("tf").cast("int").as("tf"), col("dl"))
+        col("docId"), col("tfE1").cast("int").as("tfE1"), col("dlE1"),
+        roleIdCol.as("roleId"))
       .as[PostingRowFlat]
     rows.groupByKey(r => (r.shard, r.termId))
       .mapGroups { (key: (Int, Long), it: Iterator[PostingRowFlat]) =>
         val (shard, termId) = key
         val buf = it.toArray
         java.util.Arrays.sort(buf, Ordering.by((r: PostingRowFlat) => r.docId))
-        val idfT = Scoring.idf(buf.head.df, n)
         val blocks = Segments.encode(
-          buf.map(_.docId), buf.map(_.tf), buf.map(_.dl), idfT, avgdl)
+          buf.map(_.docId), buf.map(_.tfE1), buf.map(_.dlE1), buf.map(_.roleId))
         TermPostings(shard, termId, buf.head.term, buf.head.df, blocks)
       }
   }

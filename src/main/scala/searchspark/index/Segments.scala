@@ -3,20 +3,21 @@ package searchspark.index
 import java.io.ByteArrayOutputStream
 
 import searchspark.model.PostingBlock
-import searchspark.query.Scoring
 
 /** Posting-block codec: docID-delta + varint encoding with per-block
-  * max-score metadata (the at-rest replacement for the reference's
-  * row-per-posting `index` table,
+  * (maxTfE1, minDl) pruning metadata (the at-rest replacement for the
+  * reference's row-per-posting `index` table,
   * /root/reference/src/main/java/searchengine/model/IndexEntity.java:5-23).
   *
   * Layout per term (within one doc-range shard): postings sorted by
   * docId, cut into blocks of [[BlockSize]]; per block
-  *  - docs: varint(docId_0 − firstDocBase), varint(delta_1), …
-  *  - tfs:  varint(tf_i)
-  *  - maxScore: max BM25 partial of this term over the block's docs
-  *    (block-max WAND bound, computed at build when df/N/avgdl/dl are
-  *    known).
+  *  - docs:  varint(docId_0 − firstDocBase), varint(delta_1), …
+  *  - tfs:   varint(tfE1_i)   (×10-scaled weighted tf)
+  *  - dls:   varint(dlE1_i)
+  *  - roles: varint(roleId_i) (scope filter at scan time)
+  *  - maxTfE1 / minDl: STATS-FREE block-max inputs — the WAND bound is
+  *    computed at query time from current idf/avgdl (Scoring.blockBound),
+  *    so reused incremental shards and scope-local stats stay sound.
   *
   * Pure Scala, no Catalyst involvement (SURVEY.md §7.6): executed inside
   * `mapGroups` at build and decoded inside `mapPartitions` at query.
@@ -55,12 +56,13 @@ object Segments {
 
   // --- block encode/decode ---------------------------------------------
 
-  /** Encode one term's postings (docIds ASC, same length tfs/dls).
-    * `dls` are the doc lengths (for block-max partials); `idfT` the
-    * term's idf under the stats the index is built with. */
-  def encode(docIds: Array[Long], tfs: Array[Int], dls: Array[Long],
-             idfT: Double, avgdl: Double): Array[PostingBlock] = {
-    require(docIds.length == tfs.length && tfs.length == dls.length)
+  /** Encode one term's postings (docIds ASC, equal-length tfE1s/dlE1s/
+    * roleIds). No corpus stats involved — pruning metadata is the raw
+    * (maxTfE1, minDl) per block. */
+  def encode(docIds: Array[Long], tfsE1: Array[Int], dlsE1: Array[Long],
+             roleIds: Array[Int]): Array[PostingBlock] = {
+    require(docIds.length == tfsE1.length && tfsE1.length == dlsE1.length
+      && dlsE1.length == roleIds.length)
     val blocks = Vector.newBuilder[PostingBlock]
     var i = 0
     while (i < docIds.length) {
@@ -68,36 +70,39 @@ object Segments {
       val docsOut = new ByteArrayOutputStream()
       val tfsOut = new ByteArrayOutputStream()
       val dlsOut = new ByteArrayOutputStream()
+      val rolesOut = new ByteArrayOutputStream()
       var prev = docIds(i)
-      writeVarLong(docsOut, 0L) // first doc stored as delta from itself
-      writeVarLong(tfsOut, tfs(i).toLong)
-      writeVarLong(dlsOut, dls(i))
-      var maxScore = Scoring.partial(idfT, tfs(i).toLong, dls(i), avgdl)
-      var j = i + 1
+      var maxTf = 0
+      var minDl = Long.MaxValue
+      var j = i
       while (j < end) {
         writeVarLong(docsOut, docIds(j) - prev)
-        writeVarLong(tfsOut, tfs(j).toLong)
-        writeVarLong(dlsOut, dls(j))
-        val p = Scoring.partial(idfT, tfs(j).toLong, dls(j), avgdl)
-        if (p > maxScore) maxScore = p
+        writeVarLong(tfsOut, tfsE1(j).toLong)
+        writeVarLong(dlsOut, dlsE1(j))
+        writeVarLong(rolesOut, roleIds(j).toLong)
+        if (tfsE1(j) > maxTf) maxTf = tfsE1(j)
+        if (dlsE1(j) < minDl) minDl = dlsE1(j)
         prev = docIds(j)
         j += 1
       }
-      blocks += PostingBlock(docIds(i), docIds(end - 1), end - i, maxScore,
-        docsOut.toByteArray, tfsOut.toByteArray, dlsOut.toByteArray)
+      blocks += PostingBlock(docIds(i), docIds(end - 1), end - i, maxTf, minDl,
+        docsOut.toByteArray, tfsOut.toByteArray, dlsOut.toByteArray,
+        rolesOut.toByteArray)
       i = end
     }
     blocks.result().toArray
   }
 
-  /** Decode one block to (docIds, tfs, dls). */
-  def decodeBlock(b: PostingBlock): (Array[Long], Array[Int], Array[Long]) = {
+  /** Decode one block to (docIds, tfE1s, dlE1s, roleIds). */
+  def decodeBlock(b: PostingBlock): (Array[Long], Array[Int], Array[Long], Array[Int]) = {
     val docs = new Array[Long](b.count)
     val tfs = new Array[Int](b.count)
     val dls = new Array[Long](b.count)
+    val roles = new Array[Int](b.count)
     var pd = 0
     var pt = 0
     var pl = 0
+    var pr = 0
     var prev = b.firstDoc
     var i = 0
     while (i < b.count) {
@@ -111,25 +116,30 @@ object Segments {
       val (dl, npl) = readVarLong(b.dls, pl)
       pl = npl
       dls(i) = dl
+      val (r, npr) = readVarLong(b.roles, pr)
+      pr = npr
+      roles(i) = r.toInt
       i += 1
     }
-    (docs, tfs, dls)
+    (docs, tfs, dls, roles)
   }
 
-  /** Decode a whole posting list. */
-  def decodeAll(blocks: Array[PostingBlock]): (Array[Long], Array[Int], Array[Long]) = {
+  /** Decode a whole posting list to (docIds, tfE1s, dlE1s, roleIds). */
+  def decodeAll(blocks: Array[PostingBlock]): (Array[Long], Array[Int], Array[Long], Array[Int]) = {
     val n = blocks.map(_.count).sum
     val docs = new Array[Long](n)
     val tfs = new Array[Int](n)
     val dls = new Array[Long](n)
+    val roles = new Array[Int](n)
     var off = 0
     blocks.foreach { b =>
-      val (d, t, l) = decodeBlock(b)
+      val (d, t, l, r) = decodeBlock(b)
       System.arraycopy(d, 0, docs, off, d.length)
       System.arraycopy(t, 0, tfs, off, t.length)
       System.arraycopy(l, 0, dls, off, l.length)
+      System.arraycopy(r, 0, roles, off, r.length)
       off += d.length
     }
-    (docs, tfs, dls)
+    (docs, tfs, dls, roles)
   }
 }

@@ -40,19 +40,41 @@ final case class Posting(term: String, docId: Long, tf: Int)
   * corpus frequency. */
 final case class TermStats(termId: Long, term: String, df: Long, cf: Long)
 
+/** Zone-weighted TF configuration (reference C5: per-(page,lemma) rank =
+  * tf_in_tag × ratio with title 1.0 / body 0.8, the body call REPLACING
+  * a title row — Link.java:88-100,209-216, records/IndexingParameters
+  * .java:3). Transcripts have no HTML tags; the zone split is the first
+  * `titleTokens` raw tokens of a turn (title) vs the rest (body).
+  * Weights are ×10 integers so every tf stays exact integer arithmetic:
+  * tfE1(doc, term) = tfBody·bodyWeightE1 if term in body else
+  * tfTitle·titleWeightE1. */
+final case class ZoneConfig(
+    titleTokens: Int,
+    titleWeightE1: Int = 10,
+    bodyWeightE1: Int = 8)
+
 /** One compressed posting block: up to `count` postings for one term
   * within one shard, docIds delta+varint encoded relative to `firstDoc`,
-  * tfs and dls (doc lengths, needed for the BM25 partial at query time)
-  * varint encoded. `maxScore` = max BM25 partial of this term over the
-  * block's docs (block-max WAND bound). */
+  * tfE1s, dlE1s (×10-scaled weighted tf / doc length — exact integers
+  * even under zone weights) and per-posting roleIds varint encoded.
+  *
+  * Pruning metadata is STATS-FREE: `maxTfE1` / `minDl` bound the BM25
+  * partial at QUERY time under whatever (idf, avgdl) are current —
+  * partial is increasing in tf and decreasing in dl, so
+  * partialE1(idf, maxTfE1, minDl, avgdl) ≥ any doc's partial in the
+  * block. This is what makes reused incremental shards and scope-local
+  * stats sound (a build-time maxScore baked under stale global stats
+  * would not be an upper bound after avgdl/df drift — VERDICT r1). */
 final case class PostingBlock(
     firstDoc: Long,
     lastDoc: Long,
     count: Int,
-    maxScore: Double,
+    maxTfE1: Int,
+    minDl: Long,
     docs: Array[Byte],
     tfs: Array[Byte],
-    dls: Array[Byte])
+    dls: Array[Byte],
+    roles: Array[Byte])
 
 /** Posting list of one term within one doc-range shard. Shards are
   * docId ranges (docId / shardSize), so query-time intersection is

@@ -45,6 +45,28 @@ object TextOps {
       .select(col("doc_id"), Analyzer.lemmaCol(col("tok")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
+  /** C5: zone-weighted TF with the reference's exact overwrite rule
+    * (Link.java:88-100,209-216): rank = tf_body·0.8 when the term occurs
+    * in body, else tf_title·1.0 — emitted ×10 as integer `rank_e1` so
+    * the cross-engine compare is exact. Zones: first `titleTokens` raw
+    * tokens of the doc are the "title" (transcripts lack HTML tags). */
+  def zoneWeightedTf(docs: DataFrame, titleTokens: Int = 8): DataFrame = {
+    val tok = col("tok")
+    docs.select(col("doc_id"),
+        posexplode(Analyzer.tokensCol(col("text"))).as(Seq("pos", "tok")))
+      .filter(length(tok) > 1 || tok.isInCollection(Analyzer.KeepShort.toSeq.sorted))
+      .filter(!tok.isInCollection(Analyzer.Stopwords.toIndexedSeq))
+      .select(col("doc_id"), (col("pos") < titleTokens).as("is_title"),
+        Analyzer.lemmaCol(tok).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(sum(when(col("is_title"), 1L).otherwise(0L)).as("tf_title"),
+        sum(when(col("is_title"), 0L).otherwise(1L)).as("tf_body"))
+      .withColumn("rank_e1",
+        when(col("tf_body") > 0, col("tf_body") * 8)
+          .otherwise(col("tf_title") * 10).cast("long"))
+      .orderBy("doc_id", "term")
+  }
+
   /** C6: doc length (tokens surviving analysis). Docs with zero surviving
     * terms keep dl=0 via left join. */
   def docLengths(docs: DataFrame): DataFrame =

@@ -3,7 +3,7 @@ package searchspark.oracle
 import scala.collection.mutable
 
 import searchspark.analyze.Analyzer
-import searchspark.model.{Hit, SearchResult, Turn}
+import searchspark.model.{Hit, SearchResult, Turn, ZoneConfig}
 import searchspark.query.{Scoring, Snippets}
 
 /** Single-node in-memory inverted index + BM25 top-k — the GROUND TRUTH
@@ -23,7 +23,7 @@ import searchspark.query.{Scoring, Snippets}
   *  - search pipeline per SearchingServiceImpl.java:47-67 — see
   *    [[searchspark.query.Scoring]] for the exact contract.
   */
-final class ScalarOracle(turns: Seq[Turn]) {
+final class ScalarOracle(turns: Seq[Turn], zones: Option[ZoneConfig] = None) {
 
   // --- build ------------------------------------------------------------
   /** Indexed docs in stable (conv_id, turn_idx) order. */
@@ -33,17 +33,40 @@ final class ScalarOracle(turns: Seq[Turn]) {
 
   val skippedBlank: Long = turns.size.toLong - docs.size
 
-  /** docId → analyzed terms (with multiplicity). */
-  private val docTerms: Vector[Array[String]] = docs.map(t => Analyzer.analyze(t.text))
+  /** docId → term → tfE1 (×10-scaled weighted tf; single-zone builds
+    * store 10·count, a ZoneConfig applies the reference's C5 rule:
+    * tfBody·bodyW if the term occurs in body, else tfTitle·titleW —
+    * Link.java:209-216 body-overwrites-title). Zone split = first
+    * `titleTokens` RAW tokens (B1 order) vs the rest. */
+  private val docTfE1: Vector[Map[String, Int]] = docs.map { t =>
+    zones match {
+      case None =>
+        Analyzer.analyze(t.text).groupBy(identity)
+          .map { case (term, occ) => term -> occ.length * Scoring.TfScaleE1 }
+      case Some(z) =>
+        val raw = Analyzer.tokenize(t.text)
+        def terms(toks: Array[String]): Map[String, Int] =
+          toks.filter(Analyzer.keepToken).filter(Analyzer.notStopword)
+            .map(Analyzer.lemma).groupBy(identity).map { case (k, v) => k -> v.length }
+        val title = terms(raw.take(z.titleTokens))
+        val body = terms(raw.drop(z.titleTokens))
+        (title.keySet ++ body.keySet).iterator.map { term =>
+          val tfB = body.getOrElse(term, 0)
+          term -> (if (tfB > 0) tfB * z.bodyWeightE1
+                   else title(term) * z.titleWeightE1)
+        }.toMap
+    }
+  }
 
-  val dl: Vector[Long] = docTerms.map(_.length.toLong)
+  /** dlE1 = Σ tfE1 per doc. */
+  val dl: Vector[Long] = docTfE1.map(_.valuesIterator.map(_.toLong).sum)
 
-  /** postings: term → (docId → tf), docIds ascending via sorted map build. */
+  /** postings: term → (docId → tfE1), docIds ascending. */
   private val postings: Map[String, Array[(Long, Int)]] = {
     val m = mutable.HashMap.empty[String, mutable.ArrayBuffer[(Long, Int)]]
-    docTerms.zipWithIndex.foreach { case (terms, d) =>
-      terms.groupBy(identity).foreach { case (t, occ) =>
-        m.getOrElseUpdate(t, mutable.ArrayBuffer.empty) += ((d.toLong, occ.length))
+    docTfE1.zipWithIndex.foreach { case (tfs, d) =>
+      tfs.foreach { case (t, tfE1) =>
+        m.getOrElseUpdate(t, mutable.ArrayBuffer.empty) += ((d.toLong, tfE1))
       }
     }
     m.map { case (t, l) => (t, l.sortBy(_._1).toArray) }.toMap
@@ -98,7 +121,7 @@ final class ScalarOracle(turns: Seq[Turn]) {
     val scored: Seq[(Long, Double)] = cand.toSeq.map { d =>
       var s = 0.0
       surviving.foreach { t => // ascending term order — qTerms was sorted
-        s += Scoring.partial(idf(t), tfOf(t)(d).toLong, dl(d.toInt), avgdl)
+        s += Scoring.partialE1(idf(t), tfOf(t)(d).toLong, dl(d.toInt), avgdl)
       }
       (d, s)
     }

@@ -36,22 +36,23 @@ object Scoring {
   def idf(df: Long, n: Long): Double =
     math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 
-  /** One term's BM25 partial for a (tf, dl) pair. */
-  def partial(idfT: Double, tf: Long, dl: Long, avgdl: Double): Double =
-    idfT * tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+  /** ×10 fixed-point scale of stored tf/dl (model.ZoneConfig weights are
+    * E1 integers; a single-zone build stores tfE1 = 10·tf, and
+    * (10·tf)/10.0 is EXACTLY tf in IEEE doubles, so unzoned scoring is
+    * unchanged to the last bit). */
+  val TfScaleE1 = 10
 
-  /** Upper bound of a term's partial over any doc with dl ≥ minDl: the
-    * partial is increasing in tf and decreasing in dl, so the bound over
-    * a concrete set of (tf, dl) pairs is just the max of their partials.
-    * Used for per-block maxScore at build time. */
-  def blockMax(idfT: Double, tfs: Array[Int], dls: Array[Long], avgdl: Double): Double = {
-    var m = 0.0
-    var i = 0
-    while (i < tfs.length) {
-      val p = partial(idfT, tfs(i).toLong, dls(i), avgdl)
-      if (p > m) m = p
-      i += 1
-    }
-    m
+  /** One term's BM25 partial for a ×10-scaled (tfE1, dlE1) pair.
+    * dlE1/avgdlE1 is scale-invariant, so only tf needs unscaling. */
+  def partialE1(idfT: Double, tfE1: Long, dlE1: Long, avgdlE1: Double): Double = {
+    val t = tfE1 / 10.0
+    idfT * t / (t + K1 * (1.0 - B + B * dlE1 / avgdlE1))
   }
+
+  /** Query-time upper bound of a term's partial over a posting block:
+    * partial is increasing in tf and decreasing in dl, so
+    * (maxTfE1, minDl) bounds every (tf, dl) in the block — under ANY
+    * current (idf, avgdl), global or scope-local. */
+  def blockBound(idfT: Double, maxTfE1: Int, minDl: Long, avgdlE1: Double): Double =
+    partialE1(idfT, maxTfE1.toLong, minDl, avgdlE1)
 }

@@ -9,17 +9,20 @@ import searchspark.index.{BuildPipeline, BuiltIndex, IndexBuild, PostingIndex}
 import searchspark.model.{SearchResult, TermPostings, Turn}
 
 /** The user-facing engine facade: one object holding the hot index and
-  * routing each query to the right physical path —
+  * routing each query to the zero-shuffle block-max WAND path over the
+  * shard-partitioned posting RDD (single stage per query; the RDD is
+  * hash-partitioned by shard once at load so every shard's rows are
+  * complete within one partition).
   *
-  *  - unscoped → block-max WAND over the shard-partitioned posting RDD
-  *    (single stage, zero shuffle per query; the RDD is hash-partitioned
-  *    by shard once at load so every shard's rows are complete within
-  *    one partition);
-  *  - role-scoped → the DataFrame parity path (scope-local df/avgdl
-  *    change every per-term bound, so block-max metadata built under
-  *    global stats is not a valid pruning bound there — documented
-  *    routing decision, both paths rank-identical to the oracle).
-  */
+  * Role-scoped queries take the SAME hot path: blocks carry per-posting
+  * roleIds, and pruning bounds are computed at query time from
+  * (maxTfE1, minDl) + scope-local idf/avgdl, which is a valid upper
+  * bound under any stats (Scoring.blockBound) — this removed round 1's
+  * scoped detour through the DataFrame parity path. The parity path
+  * (SearchService) remains as the declarative cross-check.
+  *
+  * `exactTotal=false` opts into estimated totals for head queries
+  * (top-k stays exact; see Wand). */
 final class SearchEngine private (
     val spark: SparkSession,
     val idx: BuiltIndex,
@@ -35,11 +38,11 @@ final class SearchEngine private (
   private val MaxDfCache = 1 << 20
 
   def search(query: String, scope: Option[String] = None,
-             offset: Int = 0, limit: Int = 20): SearchResult = scope match {
-    case None =>
-      if (dfCache.size > MaxDfCache) dfCache.clear()
-      Wand.searchPartitioned(spark, idx, byShard, query, offset, limit, Some(dfCache))
-    case Some(_) => SearchService.search(spark, idx, query, scope, offset, limit)
+             offset: Int = 0, limit: Int = 20,
+             exactTotal: Boolean = true): SearchResult = {
+    if (dfCache.size > MaxDfCache) dfCache.clear()
+    Wand.searchPartitioned(spark, idx, byShard, query, offset, limit,
+      Some(dfCache), scope, exactTotal)
   }
 
   def close(): Unit = {

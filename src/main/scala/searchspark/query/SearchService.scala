@@ -80,14 +80,15 @@ object SearchService {
     else Right((surviving, dfMap, n, avgdl))
   }
 
-  /** BM25 partial as a Column, arithmetic-identical to Scoring.partial
-    * (operation order matters for exact Double equality with the oracle). */
+  /** BM25 partial as a Column, arithmetic-identical to Scoring.partialE1
+    * (operation order matters for exact Double equality with the
+    * oracle): t = tfE1/10.0, then idf·t/(t + k1·(1−b+b·dlE1/avgdlE1)). */
   private def partialCol(idfByTerm: Map[String, Double], avgdl: Double): Column = {
     val idfCol = idfByTerm.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
       case (acc, (t, v)) => when(col("term") === t, lit(v)).otherwise(acc)
     }
-    val tfD = col("tf").cast("double")
-    val dlD = col("dl").cast("double")
+    val tfD = col("tfE1").cast("double") / lit(10.0)
+    val dlD = col("dlE1").cast("double")
     idfCol * tfD / (tfD + lit(Scoring.K1) *
       (lit(1.0 - Scoring.B) + lit(Scoring.B) * dlD / lit(avgdl)))
   }

@@ -14,16 +14,29 @@ import searchspark.model.{Hit, PostingBlock, SearchResult, TermPostings}
   * :103-133 relevance CTEs), executed as per-shard scatter-gather:
   *
   *  - driver: analyze + prune query terms (same planTerms as the parity
-  *    path — Q1 semantics);
+  *    path — Q1 semantics); per-term idf under the CURRENT stats —
+  *    global, or scope-local for role-scoped queries (the reference's
+  *    site filter, SearchingServiceImpl.java:52);
   *  - executors: for each doc-range shard, intersect the query terms'
   *    posting lists driving on the RAREST term (the reference's intended
   *    `ORDER BY part` order, defeated in its own code by a HashSet —
   *    SURVEY.md §2.3 — restored here), skipping other lists block-wise
-  *    via firstDoc/lastDoc metadata and decoding lazily; candidates are
-  *    always COUNTED (the API returns the total, :123) but exact scoring
-  *    is skipped when the Σ block-max bound can't beat the current
-  *    heap minimum (strict <: a tied bound may still win on the
-  *    docId-asc tie-break, so it must be scored);
+  *    via firstDoc/lastDoc metadata and decoding lazily. Block pruning
+  *    bounds are computed AT QUERY TIME from (maxTfE1, minDl) block
+  *    metadata + current idf/avgdl (Scoring.blockBound) — valid under
+  *    scope-local stats and after incremental stat drift, which a
+  *    build-time maxScore would not be. Scoped queries additionally
+  *    filter per-posting roleIds during the scan (zero extra shuffle).
+  *    Candidates are COUNTED exactly by default (the API returns the
+  *    total, :123) while exact scoring is skipped when the Σ block-max
+  *    bound can't beat the current heap minimum (strict <: a tied bound
+  *    may still win on the docId-asc tie-break, so it must be scored);
+  *  - `exactTotal=false` (opt-in; deviates from reference semantics):
+  *    once the heap is full, whole driver blocks whose optimistic bound
+  *    (driver block bound + Σ other lists' global maxima) can't beat the
+  *    heap minimum are skipped WITHOUT intersection, and their candidate
+  *    contribution is extrapolated from the observed match rate. Top-k
+  *    stays exact; only `count` becomes an estimate.
   *  - driver: merge per-shard top-(offset+limit) heaps, window, hydrate.
   *
   * Scores are bit-identical to the oracle/parity path: per-term partials
@@ -31,8 +44,9 @@ import searchspark.model.{Hit, PostingBlock, SearchResult, TermPostings}
   * order). */
 object Wand {
 
-  /** Per-shard result: candidate count + top rows (docId, score). */
-  private type ShardTop = (Long, Array[(Long, Double)])
+  /** Per-shard result: (exact candidates, skipped driver docs,
+    * processed driver docs, top rows). */
+  private type ShardTop = (Long, Long, Long, Array[(Long, Double)])
 
   /** Ordering "better first": score DESC, docId ASC. */
   private def better(a: (Long, Double), b: (Long, Double)): Boolean =
@@ -40,9 +54,11 @@ object Wand {
 
   def search(spark: SparkSession, idx: BuiltIndex,
              postings: Dataset[TermPostings], query: String,
-             offset: Int = 0, limit: Int = 20): SearchResult =
-    searchWith(spark, idx, query, offset, limit, None) {
-      case (surviving, bIdf, bOrder, avgdl, k) =>
+             offset: Int = 0, limit: Int = 20,
+             scope: Option[String] = None,
+             exactTotal: Boolean = true): SearchResult =
+    searchWith(spark, idx, query, offset, limit, scope, None) {
+      case (surviving, bIdf, bOrder, avgdl, k, roleId) =>
         val nTerms = surviving.size
         import spark.implicits._
         postings
@@ -50,8 +66,9 @@ object Wand {
           .groupByKey(_.shard)
           .mapGroups { (_, it) =>
             val lists = it.toArray
-            if (lists.length < nTerms) (0L, Array.empty[(Long, Double)])
-            else wandShard(lists, bIdf.value, bOrder.value._1, bOrder.value._2, avgdl, k)
+            if (lists.length < nTerms) (0L, 0L, 0L, Array.empty[(Long, Double)])
+            else wandShard(lists, bIdf.value, bOrder.value._1, bOrder.value._2,
+              avgdl, k, roleId, exactTotal)
           }
           .collect()
     }
@@ -62,10 +79,11 @@ object Wand {
   def searchPartitioned(spark: SparkSession, idx: BuiltIndex,
                         byShard: org.apache.spark.rdd.RDD[TermPostings],
                         query: String, offset: Int = 0, limit: Int = 20,
-                        dfCache: Option[scala.collection.concurrent.Map[String, Long]] = None)
-    : SearchResult =
-    searchWith(spark, idx, query, offset, limit, dfCache) {
-      case (surviving, bIdf, bOrder, avgdl, k) =>
+                        dfCache: Option[scala.collection.concurrent.Map[String, Long]] = None,
+                        scope: Option[String] = None,
+                        exactTotal: Boolean = true): SearchResult =
+    searchWith(spark, idx, query, offset, limit, scope, dfCache) {
+      case (surviving, bIdf, bOrder, avgdl, k, roleId) =>
         val survSet = surviving.toSet
         val bSurv = spark.sparkContext.broadcast(survSet)
         val nTerms = surviving.size
@@ -76,34 +94,44 @@ object Wand {
               .toSeq.groupBy(_.shard).iterator
               .map { case (_, rows) =>
                 val lists = rows.toArray
-                if (lists.length < nTerms) (0L, Array.empty[(Long, Double)])
-                else wandShard(lists, bIdf.value, bOrder.value._1, bOrder.value._2, avgdl, k)
+                if (lists.length < nTerms) (0L, 0L, 0L, Array.empty[(Long, Double)])
+                else wandShard(lists, bIdf.value, bOrder.value._1, bOrder.value._2,
+                  avgdl, k, roleId, exactTotal)
               }
           }
           .collect()
     }
 
   private def searchWith(spark: SparkSession, idx: BuiltIndex, query: String,
-                         offset: Int, limit: Int,
+                         offset: Int, limit: Int, scope: Option[String],
                          dfCache: Option[scala.collection.concurrent.Map[String, Long]])(
       scatter: ((Seq[String],
                  org.apache.spark.broadcast.Broadcast[Map[String, Double]],
                  org.apache.spark.broadcast.Broadcast[(Seq[String], Seq[String])],
-                 Double, Int)) => Array[ShardTop]): SearchResult = {
-    SearchService.planTerms(idx, query, None, dfCache) match {
+                 Double, Int, Int)) => Array[ShardTop]): SearchResult = {
+    // scope-local stats flow through planTerms; an unknown scope yields
+    // n == 0 → "Nothing found" there, so roleIds lookup below is safe
+    SearchService.planTerms(idx, query, scope, if (scope.isEmpty) dfCache else None) match {
       case Left(err) => err
       case Right((surviving, dfMap, n, avgdl)) =>
         val k = offset + limit
+        val roleId = scope.map(idx.roleIds).getOrElse(-1)
         val idfByTerm = surviving.map(t => t -> Scoring.idf(dfMap(t), n)).toMap
         val termsAsc = surviving.sorted
         val byRarity = surviving.sortBy(t => (dfMap(t), t))
         val bIdf = spark.sparkContext.broadcast(idfByTerm)
         val bOrder = spark.sparkContext.broadcast((termsAsc, byRarity))
-        val shardTops = scatter((surviving, bIdf, bOrder, avgdl, k))
+        val shardTops = scatter((surviving, bIdf, bOrder, avgdl, k, roleId))
 
-        val total = shardTops.map(_._1).sum
+        val exact = shardTops.map(_._1).sum
+        val skipped = shardTops.map(_._2).sum
+        val processed = shardTops.map(_._3).sum
+        // approx mode: extrapolate skipped driver docs at the observed
+        // candidate rate (deterministic; exact mode has skipped == 0)
+        val total = exact + (if (skipped == 0 || processed == 0) 0L
+          else math.round(skipped.toDouble * exact / processed))
         if (total == 0) return SearchResult(ok = false, 0, Nil, "Nothing found")
-        val merged = shardTops.flatMap(_._2)
+        val merged = shardTops.flatMap(_._4)
           .sortWith(better)
         val maxScore = merged.head._2
         val page = merged.slice(offset, offset + limit)
@@ -124,10 +152,16 @@ object Wand {
     }
   }
 
-  /** Lazily-decoded posting list cursor with block skipping. */
-  private final class ListCursor(blocks: Array[PostingBlock]) {
+  /** Lazily-decoded posting list cursor with block skipping; block-max
+    * bounds computed once per query from current (idf, avgdl). */
+  private final class ListCursor(blocks: Array[PostingBlock],
+                                 idfT: Double, avgdl: Double) {
+    private val bounds: Array[Double] =
+      blocks.map(b => Scoring.blockBound(idfT, b.maxTfE1, b.minDl, avgdl))
+    /** Max partial of this whole list under current stats. */
+    val listMax: Double = if (bounds.isEmpty) 0.0 else bounds.max
     private var bi = 0 // current block index
-    private var decoded: (Array[Long], Array[Int], Array[Long]) = _
+    private var decoded: (Array[Long], Array[Int], Array[Long], Array[Int]) = _
     private var decodedBi = -1
 
     /** Advance to the block that could contain `d`; false if exhausted. */
@@ -136,18 +170,18 @@ object Wand {
       bi < blocks.length
     }
 
-    /** Current block's max partial score after a successful find. */
+    /** Current block's max partial bound after a successful find. */
     var curBlockMax: Double = 0.0
 
-    /** Find doc `d`; returns (tf, dl) or null. Monotone-increasing `d`
-      * across calls (driver list is sorted). */
+    /** Find doc `d`; returns (tfE1, dlE1) or null. Monotone-increasing
+      * `d` across calls (driver list is sorted). */
     def find(d: Long): (Int, Long) = {
       if (!seekBlock(d)) return null
       val b = blocks(bi)
-      curBlockMax = b.maxScore
+      curBlockMax = bounds(bi)
       if (b.firstDoc > d) return null
       if (decodedBi != bi) { decoded = Segments.decodeBlock(b); decodedBi = bi }
-      val (docs, tfs, dls) = decoded
+      val (docs, tfs, dls, _) = decoded
       var lo = 0
       var hi = docs.length - 1
       while (lo <= hi) {
@@ -160,57 +194,78 @@ object Wand {
     }
   }
 
-  /** One shard's conjunctive block-max scan. */
+  /** One shard's conjunctive block-max scan. `roleId` ≥ 0 restricts the
+    * candidate set to docs of that role (scope filter at scan level). */
   private def wandShard(lists: Array[TermPostings],
                         idfByTerm: Map[String, Double],
                         termsAsc: Seq[String], byRarity: Seq[String],
-                        avgdl: Double, k: Int): ShardTop = {
+                        avgdl: Double, k: Int, roleId: Int,
+                        exactTotal: Boolean): ShardTop = {
     val byTerm = lists.map(l => l.term -> l).toMap
     val driver = byTerm(byRarity.head)
-    val others = byRarity.tail.map(t => t -> new ListCursor(byTerm(t).blocks)).toArray
+    val driverBounds = driver.blocks.map(b =>
+      Scoring.blockBound(idfByTerm(driver.term), b.maxTfE1, b.minDl, avgdl))
+    val others = byRarity.tail.map(t =>
+      t -> new ListCursor(byTerm(t).blocks, idfByTerm(t), avgdl)).toArray
+    val othersMaxSum = others.map(_._2.listMax).sum
 
     // bounded heap of the k best; head (the PQ max) = the WORST kept
     // entry, so "a < b iff a is better than b"
     val heap = mutable.PriorityQueue.empty[(Long, Double)](
       Ordering.fromLessThan[(Long, Double)]((a, b) => better(a, b)))
     var count = 0L
+    var skippedDocs = 0L
+    var processedDocs = 0L
 
     val found = mutable.HashMap.empty[String, (Int, Long)]
-    driver.blocks.foreach { db =>
-      val (docs, tfs, dls) = Segments.decodeBlock(db)
-      var i = 0
-      while (i < docs.length) {
-        val d = docs(i)
-        found.clear()
-        found(driver.term) = (tfs(i), dls(i))
-        var bound = db.maxScore
-        var ok = true
-        var j = 0
-        while (ok && j < others.length) {
-          val (t, cur) = others(j)
-          val hit = cur.find(d)
-          if (hit == null) ok = false
-          else { found(t) = hit; bound += cur.curBlockMax }
-          j += 1
-        }
-        if (ok) {
-          count += 1
-          val prune = heap.size >= k && bound < heap.head._2
-          if (!prune) {
-            // exact score: ascending term order (determinism contract)
-            var s = 0.0
-            termsAsc.foreach { t =>
-              val (tf, dl) = found(t)
-              s += Scoring.partial(idfByTerm(t), tf.toLong, dl, avgdl)
+    var dbi = 0
+    while (dbi < driver.blocks.length) {
+      val db = driver.blocks(dbi)
+      val dbBound = driverBounds(dbi)
+      // approx-total fast path: this block can't change the top-k and we
+      // are allowed to estimate its candidate contribution
+      if (!exactTotal && heap.size >= k && dbBound + othersMaxSum < heap.head._2) {
+        skippedDocs += db.count
+      } else {
+        val (docs, tfs, dls, roles) = Segments.decodeBlock(db)
+        var i = 0
+        while (i < docs.length) {
+          if (roleId < 0 || roles(i) == roleId) {
+            processedDocs += 1
+            val d = docs(i)
+            found.clear()
+            found(driver.term) = (tfs(i), dls(i))
+            var bound = dbBound
+            var ok = true
+            var j = 0
+            while (ok && j < others.length) {
+              val (t, cur) = others(j)
+              val hit = cur.find(d)
+              if (hit == null) ok = false
+              else { found(t) = hit; bound += cur.curBlockMax }
+              j += 1
             }
-            val cand = (d, s)
-            if (heap.size < k) heap.enqueue(cand)
-            else if (better(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+            if (ok) {
+              count += 1
+              val prune = heap.size >= k && bound < heap.head._2
+              if (!prune) {
+                // exact score: ascending term order (determinism contract)
+                var s = 0.0
+                termsAsc.foreach { t =>
+                  val (tfE1, dlE1) = found(t)
+                  s += Scoring.partialE1(idfByTerm(t), tfE1.toLong, dlE1, avgdl)
+                }
+                val cand = (d, s)
+                if (heap.size < k) heap.enqueue(cand)
+                else if (better(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+              }
+            }
           }
+          i += 1
         }
-        i += 1
       }
+      dbi += 1
     }
-    (count, heap.dequeueAll.toArray.sortWith(better))
+    (count, skippedDocs, processedDocs, heap.dequeueAll.toArray.sortWith(better))
   }
 }

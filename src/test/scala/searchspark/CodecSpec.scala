@@ -26,7 +26,8 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Segments.writeVarLong(out, -1L))
   }
 
-  private def randomPostings(r: Random): (Array[Long], Array[Int], Array[Long]) = {
+  private def randomPostings(r: Random)
+    : (Array[Long], Array[Int], Array[Long], Array[Int]) = {
     val n = 1 + r.nextInt(700)
     val start = math.abs(r.nextLong()) % (1L << 40)
     val docIds = new Array[Long](n)
@@ -37,40 +38,46 @@ class CodecSpec extends AnyFunSuite {
       docIds(i) = d
       i += 1
     }
-    (docIds, Array.fill(n)(1 + r.nextInt(500)), Array.fill(n)(1L + r.nextInt(3000)))
+    (docIds, Array.fill(n)(10 * (1 + r.nextInt(500))),
+      Array.fill(n)(10L + 10L * r.nextInt(3000)), Array.fill(n)(r.nextInt(5)))
   }
 
   test("encode→decode == identity for arbitrary sorted posting lists") {
     val r = new Random(42)
     (1 to 200).foreach { _ =>
-      val (docIds, tfs, dls) = randomPostings(r)
-      val idfT = Scoring.idf(docIds.length.toLong, 10000L)
-      val blocks = Segments.encode(docIds, tfs, dls, idfT, 50.0)
-      val (d2, t2, l2) = Segments.decodeAll(blocks)
+      val (docIds, tfs, dls, roles) = randomPostings(r)
+      val blocks = Segments.encode(docIds, tfs, dls, roles)
+      val (d2, t2, l2, r2) = Segments.decodeAll(blocks)
       assert(d2.toSeq == docIds.toSeq)
       assert(t2.toSeq == tfs.toSeq)
       assert(l2.toSeq == dls.toSeq)
+      assert(r2.toSeq == roles.toSeq)
       assert(blocks.forall(_.count <= Segments.BlockSize))
       assert(blocks.map(_.count).sum == docIds.length)
       blocks.foreach { b =>
-        val (bd, _, _) = Segments.decodeBlock(b)
+        val (bd, _, _, _) = Segments.decodeBlock(b)
         assert(b.firstDoc == bd.head && b.lastDoc == bd.last)
       }
     }
   }
 
-  test("block maxScore == max of exact partials in the block") {
+  test("block (maxTfE1, minDl) bound >= every exact partial, under ANY stats") {
     val r = new Random(7)
     (1 to 100).foreach { _ =>
-      val (docIds, tfs, dls) = randomPostings(r)
-      val idfT = Scoring.idf(math.max(1, docIds.length / 2).toLong, 10000L)
-      val avgdl = 47.3
-      val blocks = Segments.encode(docIds, tfs, dls, idfT, avgdl)
+      val (docIds, tfs, dls, roles) = randomPostings(r)
+      val blocks = Segments.encode(docIds, tfs, dls, roles)
       var off = 0
       blocks.foreach { b =>
-        val exact = (off until off + b.count).map(i =>
-          Scoring.partial(idfT, tfs(i).toLong, dls(i), avgdl)).max
-        assert(b.maxScore == exact)
+        assert(b.maxTfE1 == (off until off + b.count).map(tfs(_)).max)
+        assert(b.minDl == (off until off + b.count).map(dls(_)).min)
+        // the query-time bound dominates exact partials for arbitrary
+        // current stats (the incremental/scoped soundness property)
+        Seq((1.3, 470.0), (0.2, 51.0), (4.0, 12345.0)).foreach { case (idfT, avgdl) =>
+          val bound = Scoring.blockBound(idfT, b.maxTfE1, b.minDl, avgdl)
+          (off until off + b.count).foreach { i =>
+            assert(Scoring.partialE1(idfT, tfs(i).toLong, dls(i), avgdl) <= bound)
+          }
+        }
         off += b.count
       }
     }
@@ -78,10 +85,11 @@ class CodecSpec extends AnyFunSuite {
 
   test("compression is effective on dense lists") {
     val docIds = Array.tabulate(10000)(i => 1000L + i)
-    val tfs = Array.fill(10000)(3)
-    val dls = Array.fill(10000)(100L)
-    val blocks = Segments.encode(docIds, tfs, dls, 1.0, 50.0)
-    val bytes = blocks.map(b => b.docs.length + b.tfs.length + b.dls.length).sum
-    assert(bytes < 10000 * 4) // ~1 byte/field/posting vs 8+4+8 raw
+    val tfs = Array.fill(10000)(30)
+    val dls = Array.fill(10000)(1000L)
+    val blocks = Segments.encode(docIds, tfs, dls, Array.fill(10000)(1))
+    val bytes = blocks.map(b => b.docs.length + b.tfs.length + b.dls.length + b.roles.length).sum
+    // docs delta 1B + tfE1 1B + dlE1 2B + role 1B = 5 B/posting vs 24 raw
+    assert(bytes <= 10000 * 5)
   }
 }

@@ -50,8 +50,8 @@ class IncrementalSpec extends AnyFunSuite {
     val incr = BuildPipeline.loadPostings(spark, root)
     def flat(p: org.apache.spark.sql.Dataset[searchspark.model.TermPostings]) =
       p.collect().flatMap { tp =>
-        val (d, t, l) = Segments.decodeAll(tp.blocks)
-        d.indices.map(i => (tp.shard, tp.term, d(i), t(i), l(i)))
+        val (d, t, l, ri) = Segments.decodeAll(tp.blocks)
+        d.indices.map(i => (tp.shard, tp.term, d(i), t(i), l(i), ri(i)))
       }.sortBy(x => (x._1, x._2, x._3)).toSeq
     assert(flat(incr) == flat(full), "incremental segments != full rebuild")
 

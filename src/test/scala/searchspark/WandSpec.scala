@@ -86,6 +86,32 @@ class WandSpec extends AnyFunSuite {
     assert(missJobs == 2)
   }
 
+  test("scoped WAND (role filter in-scan, scope-local bounds) == oracle") {
+    val spec = new RankIdentitySpec
+    QueryFixtures.deriveQueries(oracle).filter(_.scope.nonEmpty).foreach { q =>
+      val expect = oracle.search(q.query, q.scope, q.offset, q.limit)
+      val engine = Wand.search(spark, idx, postings, q.query, q.offset, q.limit, q.scope)
+      spec.assertSame("wand-scoped-" + q.id, engine, expect)
+    }
+    // a scope absent from the corpus → Nothing found (reference: unknown
+    // site filter yields an empty page set)
+    val r = Wand.search(spark, idx, postings, "w0001", scope = Some("no-such-role"))
+    assert(!r.ok && r.error == "Nothing found")
+  }
+
+  test("approx total (opt-in): top-k exact, count estimated, default exact") {
+    val q = QueryFixtures.deriveQueries(oracle).find(_.id == "q10a").get
+    val exact = Wand.search(spark, idx, postings, q.query, q.offset, q.limit)
+    val approx = Wand.search(spark, idx, postings, q.query, q.offset, q.limit,
+      exactTotal = false)
+    assert(approx.hits == exact.hits, "approx mode must never change the page")
+    assert(approx.count > 0)
+    // estimate stays within 20% of truth on this corpus (uniform-ish
+    // match rate; deterministic, so this is a pinned value not a flake)
+    assert(math.abs(approx.count - exact.count).toDouble <= 0.2 * exact.count,
+      s"approx=${approx.count} exact=${exact.count}")
+  }
+
   test("WAND agrees at different shard sizes (shard layout is invisible)") {
     val p2 = PostingIndex.build(spark, idx, shardSize = 64).cache()
     try {
