@@ -94,6 +94,27 @@ object OracleSql {
     "b4_lemmatize" ->
       s"${cte()} SELECT tok, $lemmaCase AS term FROM (SELECT DISTINCT tok FROM ftok) ORDER BY tok",
 
+    // Russian analyzer config over the inline RuFixture literals — the
+    // DuckDB side regenerates the SAME alphabet/keep/stop/exception/rule
+    // SQL from Analyzers.Ru, so the hash check pins the config switch
+    "b4_lemmatize_ru" -> {
+      val ru = searchspark.analyze.Analyzers.Ru
+      val vals = searchspark.analyze.RuFixture.texts
+        .map { case (i, t) => s"($i::BIGINT, '$t')" }.mkString(",\n         ")
+      s"""WITH docsrc(doc_id, text) AS (VALUES
+         |         $vals),
+         |rawtok AS (
+         |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^${ru.alphabet}]+', ' ', 'g')), ' ')) AS tok
+         |  FROM docsrc
+         |  WHERE trim(regexp_replace(lower(text), '[^${ru.alphabet}]+', ' ', 'g')) <> ''
+         |),
+         |ftok AS (SELECT doc_id, tok FROM rawtok
+         |         WHERE ${ru.keepSqlPredicate("tok")} AND ${ru.notStopSqlPredicate("tok")}),
+         |termx AS (SELECT doc_id, ${ru.lemmaSqlCase("tok")} AS term FROM ftok)
+         |SELECT doc_id, term, count(*)::BIGINT AS tf FROM termx
+         |GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin
+    },
+
     "b5_tf" ->
       s"${cte()} SELECT doc_id, term, tf FROM tfx ORDER BY doc_id, term",
 

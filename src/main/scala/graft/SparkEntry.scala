@@ -28,6 +28,7 @@ object SparkEntry {
     "b1_tokenize" -> ((s, d) => TextOps.tokensRaw(TextOps.documents(s, d)).orderBy("doc_id", "tok")),
     "b2b3_token_filter" -> ((s, d) => TextOps.tokensFiltered(TextOps.documents(s, d)).orderBy("doc_id", "tok")),
     "b4_lemmatize" -> ((s, d) => TextOps.lemmaMapping(TextOps.documents(s, d))),
+    "b4_lemmatize_ru" -> ((s, _) => TextOps.tfRu(s)),
     "b5_tf" -> ((s, d) => TextOps.tf(TextOps.documents(s, d)).orderBy("doc_id", "term")),
     "c5_zone_weighted_tf" -> ((s, d) => TextOps.zoneWeightedTf(TextOps.documents(s, d))),
     "c6_doc_stats" -> ((s, d) => TextOps.docLengths(TextOps.documents(s, d)).orderBy("doc_id")),

@@ -3,161 +3,251 @@ package searchspark.analyze
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Text analysis pipeline — the engine's only scalar-function surface,
-  * mirroring the reference's `LemmaFinder` (119 LoC,
+/** One suffix-strip lemma rule: applies to tokens of length ≥ minLen
+  * ending in `suffix`; drops `drop` chars and appends `append`. First
+  * matching rule wins (mirrors the reference's first-normal-form-only
+  * choice, LemmaFinder.java:54). */
+final case class LemmaRule(suffix: String, minLen: Int, drop: Int, append: String)
+
+/** A full analyzer configuration — the engine's only scalar-function
+  * surface, mirroring the reference's `LemmaFinder` (119 LoC,
   * /root/reference/src/main/java/searchengine/services/supportingservices/LemmaFinder.java):
   *
   *  - B1 tokenize (LemmaFinder.java:103-108): lowercase, every char
-  *    outside the letter alphabet → space, split on whitespace. The
-  *    reference's alphabet is Russian `[а-яё]`; transcripts are English,
-  *    so the alphabet generalizes to `[a-z0-9]` (SURVEY.md §2.2 B1).
+  *    outside `alphabet` → space, split on whitespace;
   *  - B2 short-token filter (LemmaFinder.java:39-41): drop blank and
-  *    1-char tokens except a keep-list (reference keeps "я"; English
-  *    analog keeps "a", "i").
-  *  - B3 particle/stop filter (LemmaFinder.java:13,90-101): the reference
-  *    drops words whose morphology is interjection/preposition/
-  *    conjunction/particle; functional stand-in is a curated stopword
-  *    list, shared verbatim between index side, query side, scalar
-  *    oracle, and the DuckDB oracle SQL.
-  *  - B4 lemmatize (LemmaFinder.java:49-54, first-normal-form-only rule):
-  *    deterministic suffix-strip rules (no morphology jar offline,
-  *    SURVEY.md §7.0). Rule order is part of the spec — first match wins.
+  *    1-char tokens except `keepShort` (reference keeps "я");
+  *  - B3 particle/stop filter (LemmaFinder.java:13,90-101): the
+  *    reference drops words whose morphology is interjection/preposition/
+  *    conjunction/particle; functional stand-in is a curated `stopwords`
+  *    list of exactly those POS classes;
+  *  - B4 lemmatize (LemmaFinder.java:49-54): broadcast `exceptions`
+  *    dictionary first (the irregular-form analog of a morphology
+  *    lexicon), then ordered suffix-strip `rules` (no morphology jar
+  *    offline, SURVEY.md §7.0).
   *
-  * Everything here exists in three synchronized forms:
-  *  1. pure Scala functions (used by the scalar oracle, snippets, and the
-  *     query side on the driver);
-  *  2. Catalyst `Column` expressions (codegen'd, used by the distributed
-  *     build — NO Scala UDF in the hot path);
-  *  3. ANSI SQL fragments (graft.SparkEntry.oracleSql, DuckDB-checked).
-  * Tests in AnalyzerSpec pin 1 == 2 on generated corpora.
-  */
-object Analyzer {
+  * Everything exists in three synchronized forms generated from the SAME
+  * rule data: pure Scala fns (oracle/driver/snippets), Catalyst Columns
+  * (codegen'd — NO UDF in the hot path), and ANSI SQL (DuckDB oracle).
+  * AnalyzerSpec pins 1 == 2 on generated corpora; the driver's hash
+  * check pins 2 == 3. */
+final case class AnalyzerConfig(
+    name: String,
+    alphabet: String, // token char class; anything outside becomes a space
+    keepShort: Set[String],
+    stopwords: Array[String],
+    exceptions: Map[String, String],
+    rules: Seq[LemmaRule]) {
 
-  /** 1-char tokens kept by B2 (reference keep-list is {"я"}). */
-  val KeepShort: Set[String] = Set("a", "i")
+  private val stopSet: Set[String] = stopwords.toSet
 
-  /** B3 stand-in stopword list: English words of EXACTLY the POS classes
-    * the reference filters — prepositions, conjunctions, particles
-    * (incl. articles), interjections (LemmaFinder.java:13 filters only
-    * МЕЖД/ПРЕДЛ/СОЮЗ/ЧАСТ). Pronouns and verbs deliberately survive,
-    * like "я" survives in the reference (which is why "i" is NOT here
-    * and the B2 keep-list matters). Sorted, deterministic; the SQL
-    * oracle embeds this same list as an IN-list. */
-  val Stopwords: Array[String] = Array(
-    "a", "about", "above", "after", "ah", "an", "and", "as", "at",
-    "because", "before", "between", "but", "by", "down", "during", "for",
-    "from", "hey", "if", "in", "into", "nor", "not", "of", "off", "oh",
-    "on", "or", "out", "over", "per", "so", "than", "the", "though",
-    "to", "too", "under", "unless", "until", "up", "via", "while",
-    "with", "yet")
-
-  private val stopSet: Set[String] = Stopwords.toSet
-
-  /** Tokenizer character class: anything NOT in it becomes a space.
-    * (Reference: `[^а-яё\s]` → space, LemmaFinder.java:105.) */
-  val TokenAlphabet = "a-z0-9"
-
-  // ---------------------------------------------------------------------
-  // Form 1: pure Scala (driver / oracle / snippet side)
-  // ---------------------------------------------------------------------
+  // --- Form 1: pure Scala ----------------------------------------------
 
   /** B1: raw tokens of a text, in order. */
   def tokenize(text: String): Array[String] = {
     if (text == null) return Array.empty
     val cleaned = text.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll(s"[^$TokenAlphabet]+", " ").trim
+      .replaceAll(s"[^$alphabet]+", " ").trim
     if (cleaned.isEmpty) Array.empty else cleaned.split(" ")
   }
 
   /** B2: keep tokens of length > 1, or 1-char tokens on the keep-list. */
   def keepToken(tok: String): Boolean =
-    tok.length > 1 || KeepShort.contains(tok)
+    tok.length > 1 || keepShort.contains(tok)
 
   /** B3: true if the token survives the stop filter. */
   def notStopword(tok: String): Boolean = !stopSet.contains(tok)
 
-  /** B4: deterministic suffix-strip lemmatizer. First matching rule
-    * wins (mirrors the reference's first-normal-form-only choice,
-    * LemmaFinder.java:54). Keep in sync with [[lemmaCol]] and
-    * [[lemmaSqlCase]]. */
-  def lemma(tok: String): String = {
+  /** B4: exception dict, else first matching suffix rule. Tokens of
+    * length ≤ 3 are left as-is (reference behavior for short stems). */
+  def lemma(tok: String): String = exceptions.getOrElse(tok, {
     val n = tok.length
     if (n <= 3) tok
-    else if (tok.endsWith("sses")) tok.substring(0, n - 2)            // sses -> ss
-    else if (tok.endsWith("ies") && n > 4) tok.substring(0, n - 3) + "y" // ies -> y
-    else if (tok.endsWith("ss")) tok                                   // ss -> ss
-    else if (tok.endsWith("s")) tok.substring(0, n - 1)                // s -> ''
-    else if (tok.endsWith("ing") && n > 5) tok.substring(0, n - 3)     // ing -> ''
-    else if (tok.endsWith("ed") && n > 4) tok.substring(0, n - 2)      // ed -> ''
-    else tok
-  }
+    else rules.find(r => n >= r.minLen && tok.endsWith(r.suffix)) match {
+      case Some(r) => tok.substring(0, n - r.drop) + r.append
+      case None => tok
+    }
+  })
 
   /** Full pipeline B1→B4: analyzed terms of a text, in order. */
   def analyze(text: String): Array[String] =
     tokenize(text).filter(keepToken).filter(notStopword).map(lemma)
 
-  /** B5 (per-doc TF, LemmaFinder.java:34-64 `collectLemmas`): term →
-    * occurrence count. */
+  /** B5 (per-doc TF, LemmaFinder.java:34-64 `collectLemmas`). */
   def termFreqs(text: String): Map[String, Int] =
     analyze(text).groupBy(identity).map { case (t, o) => (t, o.length) }
 
   /** B7 (query analysis, SearchingServiceImpl.java:215-217): distinct
-    * query terms, in ascending term order (the deterministic summation
-    * order of SURVEY.md §7.4). */
+    * query terms, ascending (the deterministic summation order). */
   def analyzeQuery(query: String): Seq[String] =
     analyze(query).distinct.sorted
 
-  // ---------------------------------------------------------------------
-  // Form 2: Catalyst Column expressions (distributed build — codegen'd)
-  // ---------------------------------------------------------------------
+  // --- Form 2: Catalyst Columns (codegen'd) ----------------------------
 
   /** B1 as a Column: array of raw tokens of `text`. */
   def tokensCol(text: Column): Column = {
-    val cleaned = trim(regexp_replace(lower(text), s"[^$TokenAlphabet]+", " "))
+    val cleaned = trim(regexp_replace(lower(text), s"[^$alphabet]+", " "))
     when(cleaned === "", array().cast("array<string>"))
       .otherwise(split(cleaned, " "))
   }
 
-  /** B4 as a Column over a single token column (rule-for-rule identical
-    * to [[lemma]]; first matching WHEN wins, same order). */
+  /** B4 as a Column (rule-for-rule identical to [[lemma]]). */
   def lemmaCol(tok: Column): Column = {
     val n = length(tok)
-    when(n <= 3, tok)
-      .when(tok.endsWith("sses"), tok.substr(lit(1), n - 2))
-      .when(tok.endsWith("ies") && n > 4, concat(tok.substr(lit(1), n - 3), lit("y")))
-      .when(tok.endsWith("ss"), tok)
-      .when(tok.endsWith("s"), tok.substr(lit(1), n - 1))
-      .when(tok.endsWith("ing") && n > 5, tok.substr(lit(1), n - 3))
-      .when(tok.endsWith("ed") && n > 4, tok.substr(lit(1), n - 2))
-      .otherwise(tok)
+    val ruled = rules.foldLeft(when(n <= 3, tok)) { (acc, r) =>
+      val stripped = tok.substr(lit(1), n - r.drop)
+      acc.when(tok.endsWith(r.suffix) && n >= r.minLen,
+        if (r.append.isEmpty) stripped else concat(stripped, lit(r.append)))
+    }.otherwise(tok)
+    exceptions.toSeq.sorted.foldLeft(ruled) { case (acc, (k, v)) =>
+      when(tok === k, lit(v)).otherwise(acc)
+    }
   }
 
-  /** B4 as a SQL expression string over a token-valued identifier
-    * (single source of truth for Column + SQL forms; Spark and DuckDB
-    * both accept this ANSI CASE). */
-  def lemmaSqlCase(tok: String): String =
-    s"""CASE
-       | WHEN length($tok) <= 3 THEN $tok
-       | WHEN $tok LIKE '%sses' THEN substring($tok, 1, length($tok) - 2)
-       | WHEN $tok LIKE '%ies' AND length($tok) > 4 THEN substring($tok, 1, length($tok) - 3) || 'y'
-       | WHEN $tok LIKE '%ss' THEN $tok
-       | WHEN $tok LIKE '%s' THEN substring($tok, 1, length($tok) - 1)
-       | WHEN $tok LIKE '%ing' AND length($tok) > 5 THEN substring($tok, 1, length($tok) - 3)
-       | WHEN $tok LIKE '%ed' AND length($tok) > 4 THEN substring($tok, 1, length($tok) - 2)
-       | ELSE $tok
-       |END""".stripMargin.replaceAll("\\s+", " ").trim
+  // --- Form 3: SQL (Spark SQL + DuckDB dialects share these) -----------
+
+  /** B4 as an ANSI CASE over a token-valued identifier. */
+  def lemmaSqlCase(tok: String): String = {
+    val ex = exceptions.toSeq.sorted
+      .map { case (k, v) => s" WHEN $tok = '$k' THEN '$v'" }.mkString
+    val rs = rules.map { r =>
+      val stripped = s"substring($tok, 1, length($tok) - ${r.drop})"
+      s" WHEN $tok LIKE '%${r.suffix}' AND length($tok) >= ${r.minLen} THEN " +
+        (if (r.append.isEmpty) stripped else s"$stripped || '${r.append}'")
+    }.mkString
+    s"CASE$ex WHEN length($tok) <= 3 THEN $tok$rs ELSE $tok END"
+  }
 
   /** B2 filter as a SQL boolean over a token identifier. */
   def keepSqlPredicate(tok: String): String =
-    s"(length($tok) > 1 OR $tok IN (${KeepShort.toSeq.sorted.map(s => s"'$s'").mkString(", ")}))"
+    s"(length($tok) > 1 OR $tok IN (${keepShort.toSeq.sorted.map(s => s"'$s'").mkString(", ")}))"
 
   /** B3 filter as a SQL boolean over a token identifier. */
   def notStopSqlPredicate(tok: String): String =
-    s"$tok NOT IN (${Stopwords.map(s => s"'$s'").mkString(", ")})"
+    s"$tok NOT IN (${stopwords.map(s => s"'$s'").mkString(", ")})"
+}
 
-  /** B1 as a SQL expression producing an array of raw tokens (ANSI-ish;
-    * works in Spark SQL. DuckDB needs string_split instead of split —
-    * see graft.SparkEntry.oracleSql which holds the DuckDB dialect). */
+/** The shipped analyzer configurations. */
+object Analyzers {
+
+  /** English transcripts (the corpus default): alphabet generalized to
+    * `[a-z0-9]` (SURVEY.md §2.2 B1), keep-list {"a","i"} (the "я"
+    * analog), POS-class stopwords, suffix-strip rules equivalent
+    * rule-for-rule to round 1's hardcoded lemmatizer. */
+  val En: AnalyzerConfig = AnalyzerConfig(
+    name = "en",
+    alphabet = "a-z0-9",
+    keepShort = Set("a", "i"),
+    stopwords = Array(
+      "a", "about", "above", "after", "ah", "an", "and", "as", "at",
+      "because", "before", "between", "but", "by", "down", "during", "for",
+      "from", "hey", "if", "in", "into", "nor", "not", "of", "off", "oh",
+      "on", "or", "out", "over", "per", "so", "than", "the", "though",
+      "to", "too", "under", "unless", "until", "up", "via", "while",
+      "with", "yet"),
+    exceptions = Map.empty,
+    rules = Seq(
+      LemmaRule("sses", 4, 2, ""), // sses -> ss
+      LemmaRule("ies", 5, 3, "y"), // ies -> y
+      LemmaRule("ss", 4, 0, ""), // ss -> ss (guards the next rule)
+      LemmaRule("s", 4, 1, ""), // s -> ''
+      LemmaRule("ing", 6, 3, ""), // ing -> ''
+      LemmaRule("ed", 5, 2, ""))) // ed -> ''
+
+  /** Russian, config-matched to the reference's LemmaFinder: alphabet
+    * exactly `[а-яё]` (LemmaFinder.java:105), keep-list {"я"}
+    * (LemmaFinder.java:40), stopwords = curated particles/prepositions/
+    * conjunctions/interjections (the МЕЖД/ПРЕДЛ/СОЮЗ/ЧАСТ classes,
+    * LemmaFinder.java:13 — pronouns deliberately survive, hence "я"),
+    * an exception dictionary for irregular forms (the broadcast stand-in
+    * for the Lucene morphology lexicon) and crude declension/conjugation
+    * suffix strips. Quality is knowingly below a real morphology jar
+    * (unavailable offline, SURVEY.md §7.0) — the point is that the
+    * CONFIG switches the whole pipeline, all three forms included. */
+  val Ru: AnalyzerConfig = AnalyzerConfig(
+    name = "ru",
+    alphabet = "а-яё",
+    keepShort = Set("я"),
+    stopwords = Array(
+      "а", "ах", "без", "бы", "в", "ведь", "во", "вот", "да", "для",
+      "до", "если", "же", "за", "и", "из", "или", "к", "ко", "ли",
+      "на", "над", "не", "ни", "но", "о", "об", "от", "ох", "перед",
+      "по", "под", "при", "про", "с", "со", "то", "у", "уж", "хоть",
+      "чтобы", "эх"),
+    exceptions = Map(
+      "люди" -> "человек", "людям" -> "человек", "людьми" -> "человек",
+      "дети" -> "ребенок", "детям" -> "ребенок", "детьми" -> "ребенок",
+      "шёл" -> "идти", "шла" -> "идти", "шли" -> "идти"),
+    // pure strips (no re-append): every inflection of a word must land
+    // on the SAME stem — that collision is what df/conjunctive scoring
+    // needs; dictionary-form fidelity is the exception dict's job
+    rules = Seq(
+      LemmaRule("иями", 6, 4, ""), LemmaRule("иях", 5, 3, ""),
+      LemmaRule("ами", 5, 3, ""), LemmaRule("ями", 5, 3, ""),
+      LemmaRule("ого", 5, 3, ""), LemmaRule("его", 5, 3, ""),
+      LemmaRule("ому", 5, 3, ""), LemmaRule("ему", 5, 3, ""),
+      LemmaRule("ует", 5, 3, ""), LemmaRule("уют", 5, 3, ""),
+      LemmaRule("ишь", 5, 3, ""), LemmaRule("ите", 5, 3, ""),
+      LemmaRule("ает", 5, 3, ""), LemmaRule("ают", 5, 3, ""),
+      LemmaRule("ах", 4, 2, ""), LemmaRule("ях", 4, 2, ""),
+      LemmaRule("ам", 4, 2, ""), LemmaRule("ям", 4, 2, ""),
+      LemmaRule("ом", 4, 2, ""), LemmaRule("ем", 4, 2, ""),
+      LemmaRule("ою", 4, 2, ""), LemmaRule("ею", 4, 2, ""),
+      LemmaRule("ий", 4, 2, ""), LemmaRule("ый", 4, 2, ""),
+      LemmaRule("ой", 4, 2, ""), LemmaRule("ов", 4, 2, ""),
+      LemmaRule("ев", 4, 2, ""), LemmaRule("ть", 4, 2, ""),
+      LemmaRule("ы", 4, 1, ""), LemmaRule("и", 4, 1, ""),
+      LemmaRule("у", 4, 1, ""), LemmaRule("ю", 4, 1, ""),
+      LemmaRule("е", 4, 1, ""), LemmaRule("а", 4, 1, ""),
+      LemmaRule("о", 4, 1, ""), LemmaRule("й", 4, 1, ""),
+      LemmaRule("ь", 4, 1, "")))
+}
+
+/** Deterministic inline Russian fixture for the `b4_lemmatize_ru`
+  * driver query — both the Spark side and the DuckDB oracle embed these
+  * exact literals (no external data), so the hash check exercises the
+  * whole RU pipeline: `[а-яё]` alphabet, "я" keep-list, RU stopwords,
+  * exception dictionary, suffix rules. */
+object RuFixture {
+  val texts: Seq[(Long, String)] = Seq(
+    0L -> "Я читаю книги, а книга лежит на столах у стены!",
+    1L -> "Столы и стулья стояли в комнате, люди шли домой.",
+    2L -> "Новый поиск работает: поиски, поисками, поиску, HTTP 404 error!",
+    3L -> "Дети читают: ребёнок читает главу, дети любят чтение.",
+    4L -> "Я вижу море и поля, а ты видишь горы.")
+}
+
+/** The default (English) analyzer — round-1-compatible facade; every
+  * member delegates to [[Analyzers.En]]. */
+object Analyzer {
+
+  val config: AnalyzerConfig = Analyzers.En
+
+  /** 1-char tokens kept by B2 (reference keep-list is {"я"}). */
+  val KeepShort: Set[String] = config.keepShort
+
+  /** B3 stand-in stopword list — see [[AnalyzerConfig]]. */
+  val Stopwords: Array[String] = config.stopwords
+
+  /** Tokenizer character class: anything NOT in it becomes a space.
+    * (Reference: `[^а-яё\s]` → space, LemmaFinder.java:105.) */
+  val TokenAlphabet: String = config.alphabet
+
+  def tokenize(text: String): Array[String] = config.tokenize(text)
+  def keepToken(tok: String): Boolean = config.keepToken(tok)
+  def notStopword(tok: String): Boolean = config.notStopword(tok)
+  def lemma(tok: String): String = config.lemma(tok)
+  def analyze(text: String): Array[String] = config.analyze(text)
+  def termFreqs(text: String): Map[String, Int] = config.termFreqs(text)
+  def analyzeQuery(query: String): Seq[String] = config.analyzeQuery(query)
+  def tokensCol(text: Column): Column = config.tokensCol(text)
+  def lemmaCol(tok: Column): Column = config.lemmaCol(tok)
+  def lemmaSqlCase(tok: String): String = config.lemmaSqlCase(tok)
+  def keepSqlPredicate(tok: String): String = config.keepSqlPredicate(tok)
+  def notStopSqlPredicate(tok: String): String = config.notStopSqlPredicate(tok)
+
+  /** B1 as a SQL expression producing an array of raw tokens (Spark
+    * dialect; DuckDB needs string_split — see graft.OracleSql). */
   def tokensSqlSpark(text: String): String =
-    s"split(trim(regexp_replace(lower($text), '[^$TokenAlphabet]+', ' ')), ' ')"
+    s"split(trim(regexp_replace(lower($text), '[^${config.alphabet}]+', ' ')), ' ')"
 }

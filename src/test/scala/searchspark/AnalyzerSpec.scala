@@ -59,6 +59,44 @@ class AnalyzerSpec extends AnyFunSuite {
       Seq("query", "table", "zebra"))
   }
 
+  test("RU config mirrors LemmaFinder: alphabet, я keep-list, exceptions") {
+    val ru = searchspark.analyze.Analyzers.Ru
+    // B1: [^а-яё] → space (LemmaFinder.java:105) — latin/digits vanish
+    assert(ru.tokenize("Привет, мир! HTTP 404 ещё").toSeq ==
+      Seq("привет", "мир", "ещё"))
+    // B2: "я" is the only 1-char survivor (LemmaFinder.java:40)
+    assert(ru.keepToken("я") && !ru.keepToken("а") && !ru.keepToken("и"))
+    // B3: particles/preps/conjs stopped; pronouns survive
+    assert(!ru.notStopword("и") && !ru.notStopword("на") && !ru.notStopword("бы"))
+    assert(ru.notStopword("я") && ru.notStopword("ты"))
+    // B4: exception dict wins over rules (first-normal-form analog)
+    assert(ru.lemma("люди") == "человек")
+    assert(ru.lemma("шёл") == "идти")
+    // B4: suffix strips collapse inflections onto one stem
+    assert(ru.lemma("столы") == "стол" && ru.lemma("столами") == "стол"
+      && ru.lemma("столах") == "стол" && ru.lemma("стола") == "стол")
+    assert(ru.lemma("книги") == ru.lemma("книга"))
+    // full pipeline: "я" survives, stopwords out, lemmas applied
+    assert(ru.analyze("Я читаю книги и книга на столах").toSeq ==
+      Seq("я", "чита", "книг", "книг", "стол"))
+  }
+
+  test("RU Catalyst column pipeline == pure Scala pipeline") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ru = searchspark.analyze.Analyzers.Ru
+    val texts = searchspark.analyze.RuFixture.texts.map(_._2)
+    val df = texts.toDF("text")
+    val sparkSide = df.select(ru.tokensCol(col("text")).as("toks"))
+      .select(explode(col("toks")).as("tok"))
+      .filter(length(col("tok")) > 1 || col("tok").isInCollection(ru.keepShort.toSeq.sorted))
+      .filter(!col("tok").isInCollection(ru.stopwords.toIndexedSeq))
+      .select(ru.lemmaCol(col("tok")).as("term"))
+      .as[String].collect().toSeq
+    val scalaSide = texts.flatMap(t => ru.analyze(t))
+    assert(sparkSide == scalaSide)
+  }
+
   test("Catalyst column pipeline == pure Scala pipeline on generated text") {
     val spark = TestSpark.spark
     import spark.implicits._
