@@ -346,9 +346,15 @@ object OracleSql {
          |WHERE floor(list_inner_product(xa.v, xb.v) / (xa.norm * xb.norm) * 10000) >= ${math.round(EmbedDupThreshold * 1e4)}
          |ORDER BY a, b""".stripMargin,
 
+    // header sniffing mirrored for the ASCII-expressible magics (fmt
+    // parity is defensive: verified no testdata text matches them);
+    // binary magics (PNG 0x89.., JPEG 0xFFD8) cannot occur in UTF-8
+    // text payloads, and MediaSpec pins them on real byte fixtures
     "media_meta" ->
       """SELECT doc_id, strlen(text)::BIGINT AS n_bytes, ascii(substr(text, 1, 1))::INT AS first_byte,
-        |       'txt' AS fmt
+        |       CASE WHEN text LIKE 'RIFF%' AND substr(text, 9, 4) = 'WAVE' THEN 'wav'
+        |            WHEN text LIKE 'GIF8%' THEN 'gif' ELSE 'txt' END AS fmt,
+        |       NULL::INT AS width, NULL::INT AS height, NULL::INT AS sample_rate
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

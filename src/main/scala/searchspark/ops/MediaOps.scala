@@ -1,47 +1,107 @@
 package searchspark.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+
+/** Extracted media metadata row (nullable fields = not applicable for
+  * the sniffed format). */
+final case class MediaMeta(
+    doc_id: Long, n_bytes: Long, first_byte: Int, fmt: String,
+    width: Option[Int], height: Option[Int], sample_rate: Option[Int])
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
-  * metadata, processed per-partition in batch (the Spark-side shape of a
-  * decode / feature-extract stage for image/audio/video payloads).
+  * metadata, decoded per-partition in batch. The decode is a REAL
+  * pure-JVM header parser (no media libraries needed for container
+  * metadata — width/height/sample-rate are header arithmetic):
   *
-  * The decode itself is STUBBED — this container has no media libraries
-  * — as a deterministic function of the bytes (length, first byte,
-  * format tag). Everything around it is the real thing a media pipeline
-  * needs at scale: a binary column carried columnar end-to-end, a
-  * per-partition iterator (batch-shaped like Arrow-based `mapInPandas`
-  * in PySpark — in Scala the idiomatic equivalent is `mapPartitions`
-  * over the binary rows), an explicit output schema, no driver
-  * collection.
-  */
+  *  - PNG:  IHDR width/height (big-endian at offsets 16/20)
+  *  - JPEG: SOFn segment scan → height/width
+  *  - WAV:  RIFF/WAVE `fmt ` chunk → sample rate
+  *  - GIF:  logical screen descriptor (little-endian at 6/8)
+  *  - anything else → "txt" with NULL dimensions
+  *
+  * Spark-side shape for 100 TB: a binary column carried columnar end to
+  * end, a TYPED `Dataset.mapPartitions` (stays in Tungsten — round 1's
+  * untyped `.rdd` detour is gone), explicit output schema, no driver
+  * collection. Pixel/sample DECODING (vs header metadata) would slot in
+  * behind the same partition iterator once codec libraries exist in the
+  * runtime image. */
 object MediaOps {
 
-  private val outSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("n_bytes", LongType, nullable = false),
-    StructField("first_byte", IntegerType, nullable = false),
-    StructField("fmt", StringType, nullable = false)))
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
-  /** STUB decode: replace with a real codec when media libs exist.
-    * Deterministic so the DuckDB oracle can check the plumbing. */
-  private def decodeStub(payload: Array[Byte]): (Long, Int, String) =
-    (payload.length.toLong, if (payload.isEmpty) -1 else payload(0) & 0xff, "txt")
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def ascii(b: Array[Byte], off: Int, s: String): Boolean =
+    b.length >= off + s.length && s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Sniff container format and extract header metadata. */
+  def sniff(b: Array[Byte]): (String, Option[Int], Option[Int], Option[Int]) = {
+    if (b.length >= 24 && b.take(8).sameElements(PngSig))
+      ("png", Some(beInt(b, 16)), Some(beInt(b, 20)), None)
+    else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      // JPEG: walk segments to the first SOFn (frame header)
+      var p = 2
+      var out: (String, Option[Int], Option[Int], Option[Int]) = ("jpeg", None, None, None)
+      var done = false
+      while (!done && p + 4 <= b.length && (b(p) & 0xff) == 0xff) {
+        val marker = b(p + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (p + 9 <= b.length)
+            out = ("jpeg", Some(((b(p + 7) & 0xff) << 8) | (b(p + 8) & 0xff)),
+              Some(((b(p + 5) & 0xff) << 8) | (b(p + 6) & 0xff)), None)
+          done = true
+        } else {
+          val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+          p += 2 + len
+        }
+      }
+      out
+    } else if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) {
+      // walk RIFF chunks to `fmt `
+      var p = 12
+      var rate: Option[Int] = None
+      while (rate.isEmpty && p + 8 <= b.length) {
+        val sz = leInt(b, p + 4)
+        if (ascii(b, p, "fmt ") && p + 16 <= b.length) rate = Some(leInt(b, p + 12))
+        else p += 8 + sz + (sz & 1)
+      }
+      ("wav", None, None, rate)
+    } else if (ascii(b, 0, "GIF8") && b.length >= 10)
+      ("gif", Some(leShort(b, 6)), Some(leShort(b, 8)), None)
+    else ("txt", None, None, None)
+  }
 
   /** Treat each document's text bytes as an opaque media payload and run
-    * the partition-batched extract. */
+    * the partition-batched extract (typed, codegen-friendly). */
   def mediaMeta(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val binary = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-    val out = binary.rdd.mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val (n, fb, fmt) = decodeStub(r.getAs[Array[Byte]](1))
-        Row(id, n, fb, fmt)
+    import spark.implicits._
+    mediaMetaBinary(
+      docs.select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])])
+  }
+
+  /** The real operator surface: metadata extraction over an arbitrary
+    * (id, binary) Dataset — one narrow pass, no shuffle. */
+  def mediaMetaBinary(payloads: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val (fmt, w, h, sr) = sniff(payload)
+        MediaMeta(id, payload.length.toLong,
+          if (payload.isEmpty) -1 else payload(0) & 0xff, fmt, w, h, sr)
       }
-    }
-    spark.createDataFrame(out, outSchema).orderBy("doc_id")
+    }.toDF().orderBy("doc_id")
   }
 }
