@@ -62,7 +62,34 @@ object Bench {
     val p50 = lat(lat.size / 2)
     val p95 = lat(math.min(lat.size - 1, (lat.size * 95) / 100))
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"build_turns":${idx.stats.totalTurns},"build_sec":${f"$buildSec%.2f"},"build_turns_per_sec":${f"$turnsPerSec%.0f"},"postings_rows":$nPostings,"query_p50_ms":${f"$p50%.1f"},"query_p95_ms":${f"$p95%.1f"}}"""
+    // scoped queries take the same zero-shuffle WAND path (round-2) —
+    // latency parity with unscoped is the acceptance criterion
+    queries.foreach(q => engine.search(q, scope = Some("user")))
+    val latScoped = (1 to 5).flatMap { _ =>
+      queries.map { q =>
+        val s = System.nanoTime()
+        engine.search(q, scope = Some("user"))
+        (System.nanoTime() - s) / 1e6
+      }
+    }.sorted
+    val p50Scoped = latScoped(latScoped.size / 2)
+
+    // worst-case head query (max-df stems, huge conjunctive candidate
+    // set): exact total vs opt-in estimated total
+    val headTerms = idx.terms.orderBy(org.apache.spark.sql.functions.desc("df"))
+      .filter(org.apache.spark.sql.functions.col("term").rlike("^w\\d{4}"))
+      .limit(2).collect().map(_.getString(0))
+    val headQ = headTerms.mkString(" ")
+    engine.search(headQ) // warm
+    def time(body: => Unit): Double = {
+      val s = System.nanoTime(); body; (System.nanoTime() - s) / 1e6
+    }
+    val exactMs = (1 to 3).map(_ => time(engine.search(headQ))).min
+    val approxMs = (1 to 3).map(_ => time(engine.search(headQ, exactTotal = false))).min
+    val exactCount = engine.search(headQ).count
+    val approxCount = engine.search(headQ, exactTotal = false).count
+
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"build_turns":${idx.stats.totalTurns},"build_sec":${f"$buildSec%.2f"},"build_turns_per_sec":${f"$turnsPerSec%.0f"},"postings_rows":$nPostings,"query_p50_ms":${f"$p50%.1f"},"query_p95_ms":${f"$p95%.1f"},"scoped_p50_ms":${f"$p50Scoped%.1f"},"head_query_exact_ms":${f"$exactMs%.1f"},"head_query_approx_ms":${f"$approxMs%.1f"},"head_total_exact":$exactCount,"head_total_approx":$approxCount}"""
     println(json)
     // stable on-disk copy (stdout additionally carries sbt noise when the
     // run is wrapped; BENCH_r01.json came back "parsed": null)

@@ -33,8 +33,9 @@ object SearchService {
     * `dfCache`: optional driver-side term→df cache (a dictionary cache,
     * standard in search serving). Safe because a BuiltIndex is an
     * immutable snapshot; misses are stored as 0 so unknown terms also
-    * skip the Spark lookup on repeat. Unscoped path only — scope-local
-    * df is a different keyspace. */
+    * skip the Spark lookup on repeat. Scope-local df is a different
+    * keyspace — cached under a "role NUL term" key so warm SCOPED
+    * queries also run at 2 Spark jobs (scatter + hydration). */
   private[searchspark] def planTerms(
       idx: BuiltIndex, query: String, scope: Option[String],
       dfCache: Option[scala.collection.concurrent.Map[String, Long]] = None)
@@ -63,13 +64,16 @@ object SearchService {
           .select("term", "df").collect()
     }).map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    val dfMap: Map[String, Long] = (dfCache, scope) match {
-      case (Some(cache), None) =>
-        val (hit, miss) = qTerms.partition(cache.contains)
+    def cacheKey(t: String): String =
+      scope.map(r => r + "\u0000" + t).getOrElse(t)
+    val dfMap: Map[String, Long] = dfCache match {
+      case Some(cache) =>
+        val (hit, miss) = qTerms.partition(t => cache.contains(cacheKey(t)))
         val fetched = if (miss.isEmpty) Map.empty[String, Long] else lookup(miss)
-        miss.foreach(t => cache.putIfAbsent(t, fetched.getOrElse(t, 0L)))
-        (hit.map(t => t -> cache(t)) ++ miss.map(t => t -> fetched.getOrElse(t, 0L))).toMap
-      case _ => lookup(qTerms)
+        miss.foreach(t => cache.putIfAbsent(cacheKey(t), fetched.getOrElse(t, 0L)))
+        (hit.map(t => t -> cache(cacheKey(t))) ++
+          miss.map(t => t -> fetched.getOrElse(t, 0L))).toMap
+      case None => lookup(qTerms)
     }
 
     val surviving = qTerms

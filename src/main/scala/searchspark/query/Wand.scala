@@ -111,7 +111,7 @@ object Wand {
                  Double, Int, Int)) => Array[ShardTop]): SearchResult = {
     // scope-local stats flow through planTerms; an unknown scope yields
     // n == 0 → "Nothing found" there, so roleIds lookup below is safe
-    SearchService.planTerms(idx, query, scope, if (scope.isEmpty) dfCache else None) match {
+    SearchService.planTerms(idx, query, scope, dfCache) match {
       case Left(err) => err
       case Right((surviving, dfMap, n, avgdl)) =>
         val k = offset + limit
@@ -158,8 +158,22 @@ object Wand {
                                  idfT: Double, avgdl: Double) {
     private val bounds: Array[Double] =
       blocks.map(b => Scoring.blockBound(idfT, b.maxTfE1, b.minDl, avgdl))
-    /** Max partial of this whole list under current stats. */
-    val listMax: Double = if (bounds.isEmpty) 0.0 else bounds.max
+    private var rmi = 0 // rangeMax pointer (driver ranges are monotone)
+
+    /** Max bound over this list's blocks overlapping [first, last];
+      * 0.0 ⟺ no overlap (bounds are strictly positive), which proves
+      * the driver range can hold no conjunctive candidate at all. */
+    def rangeMax(first: Long, last: Long): Double = {
+      while (rmi < blocks.length && blocks(rmi).lastDoc < first) rmi += 1
+      var i = rmi
+      var m = 0.0
+      while (i < blocks.length && blocks(i).firstDoc <= last) {
+        if (bounds(i) > m) m = bounds(i)
+        i += 1
+      }
+      m
+    }
+
     private var bi = 0 // current block index
     private var decoded: (Array[Long], Array[Int], Array[Long], Array[Int]) = _
     private var decodedBi = -1
@@ -207,7 +221,6 @@ object Wand {
       Scoring.blockBound(idfByTerm(driver.term), b.maxTfE1, b.minDl, avgdl))
     val others = byRarity.tail.map(t =>
       t -> new ListCursor(byTerm(t).blocks, idfByTerm(t), avgdl)).toArray
-    val othersMaxSum = others.map(_._2.listMax).sum
 
     // bounded heap of the k best; head (the PQ max) = the WORST kept
     // entry, so "a < b iff a is better than b"
@@ -222,42 +235,66 @@ object Wand {
     while (dbi < driver.blocks.length) {
       val db = driver.blocks(dbi)
       val dbBound = driverBounds(dbi)
-      // approx-total fast path: this block can't change the top-k and we
-      // are allowed to estimate its candidate contribution
-      if (!exactTotal && heap.size >= k && dbBound + othersMaxSum < heap.head._2) {
+      // range-local bounds of the other lists over this driver block
+      var rangeSum = 0.0
+      var rangeEmpty = false
+      var oi = 0
+      while (oi < others.length) {
+        val m = others(oi)._2.rangeMax(db.firstDoc, db.lastDoc)
+        if (m == 0.0) rangeEmpty = true
+        rangeSum += m
+        oi += 1
+      }
+      if (rangeEmpty) {
+        // some term has NO docs in this doc range → zero conjunctive
+        // candidates here; skipping is EXACT (count unaffected)
+      } else if (!exactTotal && heap.size >= k && dbBound + rangeSum < heap.head._2) {
+        // approx-total fast path: can't change the top-k; candidate
+        // contribution estimated from the observed match rate
         skippedDocs += db.count
       } else {
         val (docs, tfs, dls, roles) = Segments.decodeBlock(db)
+        val idfDriver = idfByTerm(driver.term)
         var i = 0
         while (i < docs.length) {
           if (roleId < 0 || roles(i) == roleId) {
-            processedDocs += 1
-            val d = docs(i)
-            found.clear()
-            found(driver.term) = (tfs(i), dls(i))
-            var bound = dbBound
-            var ok = true
-            var j = 0
-            while (ok && j < others.length) {
-              val (t, cur) = others(j)
-              val hit = cur.find(d)
-              if (hit == null) ok = false
-              else { found(t) = hit; bound += cur.curBlockMax }
-              j += 1
-            }
-            if (ok) {
-              count += 1
-              val prune = heap.size >= k && bound < heap.head._2
-              if (!prune) {
-                // exact score: ascending term order (determinism contract)
-                var s = 0.0
-                termsAsc.foreach { t =>
-                  val (tfE1, dlE1) = found(t)
-                  s += Scoring.partialE1(idfByTerm(t), tfE1.toLong, dlE1, avgdl)
+            // approx-total per-doc fast path: the driver partial is exact
+            // and rangeSum bounds every other term, so a doc below the
+            // heap minimum can't enter the top-k — skip the intersection
+            // probe entirely and estimate its candidacy
+            val selfSkip = !exactTotal && heap.size >= k &&
+              Scoring.partialE1(idfDriver, tfs(i).toLong, dls(i), avgdl) + rangeSum < heap.head._2
+            if (selfSkip) {
+              skippedDocs += 1
+            } else {
+              processedDocs += 1
+              val d = docs(i)
+              found.clear()
+              found(driver.term) = (tfs(i), dls(i))
+              var bound = dbBound
+              var ok = true
+              var j = 0
+              while (ok && j < others.length) {
+                val (t, cur) = others(j)
+                val hit = cur.find(d)
+                if (hit == null) ok = false
+                else { found(t) = hit; bound += cur.curBlockMax }
+                j += 1
+              }
+              if (ok) {
+                count += 1
+                val prune = heap.size >= k && bound < heap.head._2
+                if (!prune) {
+                  // exact score: ascending term order (determinism contract)
+                  var s = 0.0
+                  termsAsc.foreach { t =>
+                    val (tfE1, dlE1) = found(t)
+                    s += Scoring.partialE1(idfByTerm(t), tfE1.toLong, dlE1, avgdl)
+                  }
+                  val cand = (d, s)
+                  if (heap.size < k) heap.enqueue(cand)
+                  else if (better(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
                 }
-                val cand = (d, s)
-                if (heap.size < k) heap.enqueue(cand)
-                else if (better(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
               }
             }
           }
