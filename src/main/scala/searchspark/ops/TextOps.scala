@@ -117,9 +117,10 @@ object TextOps {
     * LIMIT (SearchingServiceImpl.java:103-133). All-integer sums, so
     * exact cross-engine equality; only the final ratio is rounded. */
   def relevance(docs: DataFrame, terms: Seq[String], limit: Int): DataFrame = {
-    val cand = conjunctive(docs, terms)
-    val abs = tf(docs).filter(col("term").isInCollection(terms))
-      .join(cand, Seq("doc_id"))
+    val tq = tf(docs).filter(col("term").isInCollection(terms)).cache()
+    val cand = tq.groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === terms.size).select("doc_id")
+    val abs = tq.join(cand, Seq("doc_id"))
       .groupBy("doc_id").agg(sum("tf").as("rel_abs"))
     val mx = abs.agg(max("rel_abs")).head.getLong(0)
     abs.withColumn("relevance_e6", expr(s"rel_abs * 1000000 div $mx"))
@@ -145,8 +146,13 @@ object TextOps {
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int, offset: Int = 0,
                scopeLang: Option[String] = None): DataFrame = {
     val scoped = scopeLang.map(l => docs.filter(col("lang") === l)).getOrElse(docs)
-    val t = tf(scoped)
-    val dls = docLengths(scoped)
+    // one analyzer pass: tf is cached and reused by doc lengths, the df
+    // lookup, and the scoring join (uncached this plan tokenizes the
+    // whole corpus three times)
+    val t = tf(scoped).cache()
+    val dls = scoped.select("doc_id")
+      .join(t.groupBy("doc_id").agg(sum("tf").as("dl")), Seq("doc_id"), "left")
+      .withColumn("dl", coalesce(col("dl"), lit(0L)))
     val statsRow = dls.agg(count(lit(1)), sum("dl")).head
     val n = statsRow.getLong(0)
     val avgdl = statsRow.getLong(1).toDouble / n
