@@ -43,12 +43,21 @@ object Incremental {
                           shardsReused: Long)
 
   def append(spark: SparkSession, root: String, newTurns: Dataset[Turn],
-             partitions: Int, shardSize: Int = PostingIndex.DefaultShardSize): Report = {
+             partitions: Int, shardSize: Int = 0): Report = {
     def table(name: String) = Paths.get(root, name).toString
     val docsRawOld = IceLite.read(spark, table("docs_raw"))
-    // analyze the delta under the BUILD's zone config (manifest param)
-    val zones = BuildPipeline.readManifest(root)
-      .flatMap(_.params.get("zones")).flatMap(BuildPipeline.parseZones)
+    // the delta MUST be processed under the BUILD's config: zone setup
+    // and shard size come from the manifest (a mismatched shardSize
+    // silently mis-shards the rebuilt segments and duplicates kept ones
+    // — caught by StreamIngestSpec); an explicit argument is only
+    // accepted when it agrees
+    val manifest = BuildPipeline.readManifest(root)
+    val zones = manifest.flatMap(_.params.get("zones")).flatMap(BuildPipeline.parseZones)
+    val manifestShard = manifest.flatMap(_.params.get("shardSize")).map(_.toInt)
+    require(shardSize <= 0 || manifestShard.forall(_ == shardSize),
+      s"shardSize $shardSize contradicts the build manifest ($manifestShard)")
+    val effShardSize = manifestShard
+      .orElse(Some(shardSize).filter(_ > 0)).getOrElse(PostingIndex.DefaultShardSize)
 
     // same deterministic key-dedup as the cold build (DocIds.assign):
     // a delta batch repeating a (conv_id, turn_idx) key would otherwise
@@ -107,12 +116,12 @@ object Incremental {
 
     // segment merge: rebuild only shards containing touched docs
     val touchedShards = touched
-      .select((col("docId") / shardSize).cast("int").as("shard")).distinct().cache()
+      .select((col("docId") / effShardSize).cast("int").as("shard")).distinct().cache()
     val idx = BuildPipeline.loadRelational(spark, root)
     val tfTouched = tf
-      .withColumn("shard", (col("docId") / shardSize).cast("int"))
+      .withColumn("shard", (col("docId") / effShardSize).cast("int"))
       .join(touchedShards, Seq("shard")).drop("shard")
-    val rebuilt = PostingIndex.build(spark, idx.copy(tf = tfTouched), shardSize).toDF()
+    val rebuilt = PostingIndex.build(spark, idx.copy(tf = tfTouched), effShardSize).toDF()
     val postingsOld = IceLite.read(spark, table("postings"))
     val kept = postingsOld.join(touchedShards, Seq("shard"), "left_anti")
     val nKept = kept.select("shard").distinct().count()

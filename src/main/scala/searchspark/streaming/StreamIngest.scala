@@ -1,0 +1,86 @@
+package searchspark.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import searchspark.index.Incremental
+import searchspark.model.Turn
+
+/** Continuous index maintenance over a transcript STREAM — the
+  * Structured-Streaming form of the reference's `POST /api/indexPage`
+  * (IndexingServiceImpl.java:129-157, one page re-indexed in place;
+  * here: every micro-batch of turns is folded into the persisted index).
+  *
+  * The reference itself has no streaming surface (SURVEY.md §2.5) — this
+  * is the ingestion-side extension a transcript pipeline needs: an
+  * `readStream` source (files landing in a directory, Kafka, …) feeds
+  * `foreachBatch`, and each batch runs [[Incremental.append]]: replaced
+  * keys keep their docId, new keys append, only touched doc-range
+  * shards rebuild their segments, and every table lands as a NEW IceLite
+  * snapshot — concurrent readers stay snapshot-isolated and a search
+  * engine reopened after any batch sees a complete, consistent index.
+  *
+  * Exactly-once at the index level: Spark's checkpoint gives at-least-
+  * once `foreachBatch` delivery; a batch-id high-watermark recorded
+  * ATOMICALLY in the index root after each append makes replays no-ops,
+  * so a crash between append and checkpoint commit cannot double-apply
+  * (the append itself is atomic via the IceLite pointer swap).
+  */
+object StreamIngest {
+
+  private def watermarkPath(root: String) = Paths.get(root, "stream_batch_watermark")
+
+  private[streaming] def lastApplied(root: String): Long = {
+    val p = watermarkPath(root)
+    if (!Files.exists(p)) -1L
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+  }
+
+  private def recordApplied(root: String, batchId: Long): Unit = {
+    val tmp = Paths.get(root, "stream_batch_watermark.tmp")
+    Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, watermarkPath(root),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Apply one micro-batch (exposed for tests / manual batches). */
+  def applyBatch(spark: SparkSession, root: String, batch: Dataset[Turn],
+                 batchId: Long, partitions: Int): Boolean = {
+    if (batchId <= lastApplied(root)) false // replay after crash → no-op
+    else {
+      if (!batch.isEmpty) Incremental.append(spark, root, batch, partitions)
+      recordApplied(root, batchId)
+      true
+    }
+  }
+
+  /** Start the ingest query over any streaming Dataset[Turn]. Caller
+    * owns the trigger cadence via `trigger` (AvailableNow drains what
+    * exists and stops — the batch-catch-up mode; ProcessingTime runs
+    * forever). The index root must hold an existing cold build
+    * (BuildPipeline.run) — streams extend indexes, they don't bootstrap
+    * them. */
+  def run(spark: SparkSession, root: String, stream: Dataset[Turn],
+          checkpointDir: String, partitions: Int,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
+        applyBatch(spark, root, batch, batchId, partitions): Unit
+      }
+      .start()
+
+  /** Convenience: a parquet-file landing zone as the stream source
+    * (new files under `landingDir` become micro-batches). */
+  def fromParquetDir(spark: SparkSession, landingDir: String): Dataset[Turn] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Turn].schema)
+      .parquet(landingDir)
+      .as[Turn]
+  }
+}
