@@ -32,11 +32,14 @@ import searchspark.model.{Hit, PostingBlock, SearchResult, TermPostings}
   *    bound can't beat the current heap minimum (strict <: a tied bound
   *    may still win on the docId-asc tie-break, so it must be scored);
   *  - `exactTotal=false` (opt-in; deviates from reference semantics):
-  *    once the heap is full, whole driver blocks whose optimistic bound
-  *    (driver block bound + Σ other lists' global maxima) can't beat the
-  *    heap minimum are skipped WITHOUT intersection, and their candidate
-  *    contribution is extrapolated from the observed match rate. Top-k
-  *    stays exact; only `count` becomes an estimate.
+  *    the candidacy (intersection) test runs only for (a) a
+  *    deterministic systematic SAMPLE of driver docs (docId mod
+  *    [[ApproxSampleRate]] == 0) and (b) docs whose score upper bound
+  *    (exact driver partial + range-local other-list maxima) could
+  *    still enter the heap. Top-k stays exact — (b) guarantees it —
+  *    while `count` becomes sampleCandidates × rate, an unbiased
+  *    systematic estimate; shards where nothing was skipped report
+  *    their exact count unchanged.
   *  - driver: merge per-shard top-(offset+limit) heaps, window, hydrate.
   *
   * Scores are bit-identical to the oracle/parity path: per-term partials
@@ -44,9 +47,12 @@ import searchspark.model.{Hit, PostingBlock, SearchResult, TermPostings}
   * order). */
 object Wand {
 
-  /** Per-shard result: (exact candidates, skipped driver docs,
-    * processed driver docs, top rows). */
-  private type ShardTop = (Long, Long, Long, Array[(Long, Double)])
+  /** Approx-total systematic sampling stride (power of two). */
+  val ApproxSampleRate = 8
+
+  /** Per-shard result: (exact candidates among intersected docs,
+    * sampled candidates, any doc skipped?, top rows). */
+  private type ShardTop = (Long, Long, Boolean, Array[(Long, Double)])
 
   /** Ordering "better first": score DESC, docId ASC. */
   private def better(a: (Long, Double), b: (Long, Double)): Boolean =
@@ -66,7 +72,7 @@ object Wand {
           .groupByKey(_.shard)
           .mapGroups { (_, it) =>
             val lists = it.toArray
-            if (lists.length < nTerms) (0L, 0L, 0L, Array.empty[(Long, Double)])
+            if (lists.length < nTerms) (0L, 0L, false, Array.empty[(Long, Double)])
             else wandShard(lists, bIdf.value, bOrder.value._1, bOrder.value._2,
               avgdl, k, roleId, exactTotal)
           }
@@ -94,7 +100,7 @@ object Wand {
               .toSeq.groupBy(_.shard).iterator
               .map { case (_, rows) =>
                 val lists = rows.toArray
-                if (lists.length < nTerms) (0L, 0L, 0L, Array.empty[(Long, Double)])
+                if (lists.length < nTerms) (0L, 0L, false, Array.empty[(Long, Double)])
                 else wandShard(lists, bIdf.value, bOrder.value._1, bOrder.value._2,
                   avgdl, k, roleId, exactTotal)
               }
@@ -123,13 +129,11 @@ object Wand {
         val bOrder = spark.sparkContext.broadcast((termsAsc, byRarity))
         val shardTops = scatter((surviving, bIdf, bOrder, avgdl, k, roleId))
 
-        val exact = shardTops.map(_._1).sum
-        val skipped = shardTops.map(_._2).sum
-        val processed = shardTops.map(_._3).sum
-        // approx mode: extrapolate skipped driver docs at the observed
-        // candidate rate (deterministic; exact mode has skipped == 0)
-        val total = exact + (if (skipped == 0 || processed == 0) 0L
-          else math.round(skipped.toDouble * exact / processed))
+        // per shard: exact count when nothing was skipped there, else
+        // the systematic-sample estimate (deterministic)
+        val total = shardTops.map { case (exact, sampleCand, skippedAny, _) =>
+          if (!skippedAny) exact else sampleCand * ApproxSampleRate
+        }.sum
         if (total == 0) return SearchResult(ok = false, 0, Nil, "Nothing found")
         val merged = shardTops.flatMap(_._4)
           .sortWith(better)
@@ -227,8 +231,9 @@ object Wand {
     val heap = mutable.PriorityQueue.empty[(Long, Double)](
       Ordering.fromLessThan[(Long, Double)]((a, b) => better(a, b)))
     var count = 0L
-    var skippedDocs = 0L
-    var processedDocs = 0L
+    var sampleCand = 0L
+    var skippedAny = false
+    val sampleMask = ApproxSampleRate - 1L // power of two
 
     val found = mutable.HashMap.empty[String, (Int, Long)]
     var dbi = 0
@@ -247,28 +252,22 @@ object Wand {
       }
       if (rangeEmpty) {
         // some term has NO docs in this doc range → zero conjunctive
-        // candidates here; skipping is EXACT (count unaffected)
-      } else if (!exactTotal && heap.size >= k && dbBound + rangeSum < heap.head._2) {
-        // approx-total fast path: can't change the top-k; candidate
-        // contribution estimated from the observed match rate
-        skippedDocs += db.count
+        // candidates here; skipping is EXACT in both modes (sampled
+        // docs here would contribute 0 candidates)
       } else {
         val (docs, tfs, dls, roles) = Segments.decodeBlock(db)
         val idfDriver = idfByTerm(driver.term)
         var i = 0
         while (i < docs.length) {
           if (roleId < 0 || roles(i) == roleId) {
-            // approx-total per-doc fast path: the driver partial is exact
-            // and rangeSum bounds every other term, so a doc below the
-            // heap minimum can't enter the top-k — skip the intersection
-            // probe entirely and estimate its candidacy
-            val selfSkip = !exactTotal && heap.size >= k &&
-              Scoring.partialE1(idfDriver, tfs(i).toLong, dls(i), avgdl) + rangeSum < heap.head._2
-            if (selfSkip) {
-              skippedDocs += 1
-            } else {
-              processedDocs += 1
-              val d = docs(i)
+            val d = docs(i)
+            val sampled = (d & sampleMask) == 0L
+            // a doc must be intersected if it's in the count sample, the
+            // heap is still filling, or its upper bound (exact driver
+            // partial + range-local other maxima) could enter the heap
+            val mustForTopK = heap.size < k ||
+              Scoring.partialE1(idfDriver, tfs(i).toLong, dls(i), avgdl) + rangeSum >= heap.head._2
+            if (exactTotal || sampled || mustForTopK) {
               found.clear()
               found(driver.term) = (tfs(i), dls(i))
               var bound = dbBound
@@ -283,6 +282,7 @@ object Wand {
               }
               if (ok) {
                 count += 1
+                if (sampled) sampleCand += 1
                 val prune = heap.size >= k && bound < heap.head._2
                 if (!prune) {
                   // exact score: ascending term order (determinism contract)
@@ -296,13 +296,13 @@ object Wand {
                   else if (better(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
                 }
               }
-            }
+            } else skippedAny = true
           }
           i += 1
         }
       }
       dbi += 1
     }
-    (count, skippedDocs, processedDocs, heap.dequeueAll.toArray.sortWith(better))
+    (count, sampleCand, skippedAny, heap.dequeueAll.toArray.sortWith(better))
   }
 }

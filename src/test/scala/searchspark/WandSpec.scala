@@ -112,6 +112,38 @@ class WandSpec extends AnyFunSuite {
       s"approx=${approx.count} exact=${exact.count}")
   }
 
+  test("approx total: skips fire and estimate extrapolates on a separating corpus") {
+    // a corpus where block maxima DO separate: 20 high-tf docs for "xx"
+    // sit in the first posting block (lowest docIds); every later block
+    // has maxTf=1, so with the heap full its bound can't beat the heap
+    // min → blocks are skipped and their candidacy extrapolated. The
+    // ccc region (xx without yy) is skipped EXACTLY (yy has no docs in
+    // that docId range), so only the uniform bbb region is estimated.
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    val pads = (1 to 28).map(i => f"pad$i%02d").mkString(" ")
+    val turns =
+      (0 until 20).map(i => searchspark.model.Turn("aaaa", i, "user",
+        Array.fill(50)("xx").mkString(" ") + " yy", null, ts)) ++
+      (0 until 1499).map(i => searchspark.model.Turn(f"bbb$i%04d", 0, "user",
+        s"xx yy $pads", null, ts)) ++
+      (0 until 500).map(i => searchspark.model.Turn(f"ccc$i%04d", 0, "user",
+        "xx qq", null, ts)) ++
+      (0 until 500).map(i => searchspark.model.Turn(f"ddd$i%04d", 0, "user",
+        "yy qq", null, ts))
+    val sIdx = IndexBuild.build(spark, spark.createDataset(turns), partitions = 4)
+    val sPost = PostingIndex.build(spark, sIdx, shardSize = 4096)
+    val exact = Wand.search(spark, sIdx, sPost, "xx yy")
+    val approx = Wand.search(spark, sIdx, sPost, "xx yy", exactTotal = false)
+    assert(exact.count == 1519, "fixture sanity: aaaa + bbb docs are the candidates")
+    assert(approx.hits == exact.hits, "approx must not change the page")
+    // candidates are docIds 0..1518 → 190 sampled (mod 8) → estimate
+    // 1520: off-by-one from truth proves docs were skipped AND the
+    // systematic estimate reconstructs the total almost exactly
+    assert(approx.count == 1520,
+      s"expected the deterministic sample estimate, got ${approx.count} (exact ${exact.count})")
+  }
+
   test("WAND agrees at different shard sizes (shard layout is invisible)") {
     val p2 = PostingIndex.build(spark, idx, shardSize = 64).cache()
     try {
