@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: the rank is the global rank of a unique sort key, so it
   * is invariant to partition boundaries (sampling) and parallelism —
-  * same argument and same tests as SURVEY.md §7.3. Caveats: ≤ 2^33 rows
-  * per partition (id layout), and the offsets array is a literal —
-  * at 10^6+ partitions switch to a broadcast join on pid.
+  * same argument and same tests as SURVEY.md §7.3. Caveat: ≤ 2^33 rows
+  * per partition (id layout). Offsets reach executors via a BROADCAST
+  * join on pid (a plan literal would bloat the plan at 10^6+ cluster
+  * partitions; the broadcast side is one narrow row per partition).
   */
 object ZipIndex {
 
@@ -36,14 +37,17 @@ object ZipIndex {
     val counts = sorted.groupBy("__pid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val maxPid = if (counts.isEmpty) 0 else counts.keys.max
-    val offsets = new Array[Long](maxPid + 1)
+    val offsets = Seq.newBuilder[(Int, Long)]
     var acc = 0L
-    (0 to maxPid).foreach { p => offsets(p) = acc; acc += counts.getOrElse(p, 0L) }
-    val offCol = array(offsets.map(lit(_)): _*)
+    (0 to maxPid).foreach { p => offsets += ((p, acc)); acc += counts.getOrElse(p, 0L) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.result().toDF("__pid", "__off")
     sorted
       .withColumn("__mid", monotonically_increasing_id())
-      .withColumn(name, element_at(offCol, col("__pid") + 1) +
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn(name, col("__off") +
         (col("__mid") - shiftleft(col("__pid").cast("long"), 33)))
-      .drop("__pid", "__mid")
+      .drop("__pid", "__mid", "__off")
   }
 }
