@@ -257,6 +257,39 @@ object OracleSql {
          |       GROUP BY c.a, c.b)
          |SELECT a, b, (matches * 1000000 // 12)::BIGINT AS est_sim_e6 FROM mx ORDER BY a, b""".stripMargin,
 
+    // connected components over the LSH candidate-pair graph via
+    // recursive min-label closure (terminates: finite (id, rep) pairs,
+    // UNION dedups); min(rep) per id = component minimum
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE lx AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS l FROM documents),
+         |ix AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM lx WHERE len(l) >= 3),
+         |shing AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM ix),
+         |hx AS (SELECT doc_id, i::BIGINT AS i,
+         |              min(('0x' || substr(md5(i::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT AS minh
+         |       FROM shing CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i) hs
+         |       GROUP BY doc_id, i),
+         |bx AS (SELECT doc_id, (i // 4)::BIGINT AS band, string_agg(minh::VARCHAR, '-' ORDER BY i) AS key
+         |       FROM hx GROUP BY doc_id, i // 4),
+         |prs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |        FROM bx x JOIN bx y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |edges AS (SELECT a AS src, b AS dst FROM prs UNION SELECT b, a FROM prs),
+         |comp(id, rep) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, c.rep FROM comp c JOIN edges e ON e.src = c.id
+         |)
+         |SELECT id::BIGINT AS doc_id, min(rep)::BIGINT AS cluster_rep
+         |FROM comp GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "sample_split" ->
+      """SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |             (('0x' || substr(md5('split-v1:' || doc_id::VARCHAR), 1, 15))::UBIGINT % 100)::BIGINT AS bucket
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     "text_simhash" ->
       s"""${cte()},
          |hterm AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 15))::UBIGINT::BIGINT AS h FROM tfx),

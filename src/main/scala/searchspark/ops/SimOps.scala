@@ -151,6 +151,43 @@ object SimOps {
       .orderBy("a", "b")
   }
 
+  /** Near-dup CLUSTERS from a pair graph: connected components by
+    * iterated min-label propagation (the step after pair generation in
+    * a dedup pipeline — keep one doc per component). Deterministic:
+    * every member adopts the smallest doc_id reachable; the loop runs
+    * until a fixpoint (iterations ≤ graph diameter; each pass is one
+    * shuffle-on-id join — scale-safe for the short-diameter components
+    * near-dup graphs produce). Output: (doc_id, cluster_rep) for every
+    * doc that appears in at least one pair. */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    // undirected edges, both directions
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")).cache()
+    var changed = 1L
+    var guard = 0
+    while (changed > 0 && guard < 50) {
+      // candidate rep per node = min(own rep, min over neighbours' reps)
+      val next = edges
+        .join(labels.withColumnRenamed("id", "src").withColumnRenamed("rep", "srcRep"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min("srcRep").as("nbrRep"))
+        .join(labels, Seq("id"), "right")
+        .select(col("id"), least(col("rep"), coalesce(col("nbrRep"), col("rep"))).as("rep"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("rep", "old"), Seq("id"))
+        .filter(col("rep") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      guard += 1
+    }
+    val out = labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+
   // --- embedding similarity -------------------------------------------
 
   /** Brute-force cosine top-k against the embedding of `queryVecId`

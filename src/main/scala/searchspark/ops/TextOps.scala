@@ -257,6 +257,21 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split — the standard hash-split a
+    * training-data pipeline needs: bucket = md5-derived 60-bit hash of
+    * (salt, doc_id) mod 100, train < 90 ≤ val < 95 ≤ test. Stable under
+    * reprocessing (pure function of the key), leakage-free across
+    * near-identical runs, and trivially reproducible in any engine. */
+  def sampleSplit(docs: DataFrame, salt: String = "split-v1"): DataFrame =
+    docs.select(col("doc_id"),
+        pmod(SimOps.hash60(concat(lit(salt), lit(":"), col("doc_id").cast("string"))),
+          lit(100L)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+
   /** Word k-gram shingles of each doc, distinct per doc. */
   def shingles(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(col("doc_id"), Analyzer.tokensCol(col("text")).as("toks"))

@@ -40,6 +40,18 @@ class SimPairSpec extends AnyFunSuite {
       s"chunk-pair kernel must be an equi-join on the chunk-pair key:\n$p")
   }
 
+  test("dedupClusters: min-label components over a multi-hop pair graph") {
+    import TestSpark.spark.implicits._
+    // components: {1,2,3,4} via a chain (diameter 3), {7,9}, {5,6,8} via
+    // a star on 8 — propagation must cross multiple hops
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (7L, 9L), (8L, 5L), (8L, 6L))
+      .toDF("a", "b")
+    val got = SimOps.dedupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 5L, 9L -> 7L))
+  }
+
   /** Planted near-dup fixture: 30 base vectors + a close copy of each
     * (cosine ≥ ~0.999) among 64-dim noise. Deterministic seed. */
   private def plantedEmb(): DataFrame = {
