@@ -51,7 +51,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccard(TextOps.documents(s, d))),
     "text_minhash_sig" -> ((s, d) => SimOps.minhashSignatures(TextOps.documents(s, d)).orderBy("doc_id", "i")),
     "dedup_minhash_lsh" -> ((s, d) => SimOps.minhashLsh(TextOps.documents(s, d))),
-    "dedup_clusters" -> ((s, d) => SimOps.dedupClusters(SimOps.minhashLsh(TextOps.documents(s, d)))),
+    "dedup_clusters" -> ((s, d) => SimOps.dedupClusters(SimOps.minhashCandidatePairs(TextOps.documents(s, d)))),
     "sample_split" -> ((s, d) => TextOps.sampleSplit(TextOps.documents(s, d))),
     "text_simhash" -> ((s, d) => SimOps.simhash(TextOps.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => SimOps.simhashPairs(TextOps.documents(s, d))),

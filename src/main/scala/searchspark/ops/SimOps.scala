@@ -151,15 +151,67 @@ object SimOps {
       .orderBy("a", "b")
   }
 
-  /** Near-dup CLUSTERS from a pair graph: connected components by
-    * iterated min-label propagation (the step after pair generation in
-    * a dedup pipeline — keep one doc per component). Deterministic:
-    * every member adopts the smallest doc_id reachable; the loop runs
-    * until a fixpoint (iterations ≤ graph diameter; each pass is one
-    * shuffle-on-id join — scale-safe for the short-diameter components
-    * near-dup graphs produce). Output: (doc_id, cluster_rep) for every
-    * doc that appears in at least one pair. */
+  /** Candidate pairs only (band-bucket join, no similarity estimate) —
+    * the input a clustering pass needs; skips minhashLsh's
+    * signature-widening joins. */
+  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val bands = sig
+      .withColumn("band", (col("i") / RowsPerBand).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(array_sort(collect_list(struct(col("i"), col("minh")))).as("rows"))
+      .select(col("doc_id"), col("band"),
+        array_join(expr("transform(rows, r -> cast(r.minh as string))"), "-").as("key"))
+    bands.select(col("doc_id").as("a"), col("band"), col("key"))
+      .join(bands.select(col("doc_id").as("b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Edge count below which components are solved driver-side. The pair
+    * graph after LSH candidate generation is tiny relative to the
+    * corpus by construction (bounded band fan-out); a distributed
+    * fixpoint loop for a few thousand edges is all task overhead. */
+  val SmallGraphMax = 5000000L
+
+  /** Near-dup CLUSTERS from a pair graph: connected components, the
+    * step after pair generation in a dedup pipeline (keep one doc per
+    * component). Deterministic: every member gets the smallest doc_id
+    * in its component. Two physical paths, same result:
+    *  - edges ≤ [[SmallGraphMax]]: collect + union-find on the driver
+    *    (microseconds; the standard small-graph shortcut);
+    *  - larger: iterated min-label propagation until fixpoint
+    *    (iterations ≤ diameter, one shuffle-on-id join per pass).
+    * Output: (doc_id, cluster_rep) for every doc in ≥1 pair. */
   def dedupClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val edgeRows = pairs.select(col("a").cast("long"), col("b").cast("long"))
+    import spark.implicits._
+    // ONE action: fetch up to the threshold+1 edges; only the (rare)
+    // over-threshold case pays a recompute on the distributed path
+    val es = edgeRows.as[(Long, Long)].limit(SmallGraphMax.toInt + 1).collect()
+    if (es.length <= SmallGraphMax) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+      }
+      val out = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      spark.createDataset(out).toDF("doc_id", "cluster_rep").orderBy("doc_id")
+    } else dedupClustersDistributed(edgeRows.toDF("a", "b"))
+  }
+
+  /** The distributed fixpoint path (exposed for tests). */
+  private[searchspark] def dedupClustersDistributed(pairs: DataFrame): DataFrame = {
     // undirected edges, both directions
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))

@@ -46,10 +46,12 @@ class SimPairSpec extends AnyFunSuite {
     // a star on 8 — propagation must cross multiple hops
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (7L, 9L), (8L, 5L), (8L, 6L))
       .toDF("a", "b")
-    val got = SimOps.dedupClusters(pairs).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 5L, 9L -> 7L))
+    val expect = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 5L, 9L -> 7L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows(SimOps.dedupClusters(pairs)) == expect) // union-find path
+    assert(rows(SimOps.dedupClustersDistributed(pairs)) == expect) // fixpoint path
   }
 
   /** Planted near-dup fixture: 30 base vectors + a close copy of each
