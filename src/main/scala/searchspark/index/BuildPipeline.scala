@@ -155,7 +155,10 @@ object BuildPipeline {
       val payload = Map(
         "n" -> stats.n.toString, "avgdl" -> stats.avgdl.toString,
         "totalTurns" -> stats.totalTurns.toString,
-        "skippedBlank" -> stats.skippedBlank.toString) ++
+        "skippedBlank" -> stats.skippedBlank.toString,
+        // append-only role dictionary (cold build: sorted) — roleIds in
+        // posting blocks are positions in this list and must never move
+        "roles" -> byRole.keys.toSeq.sorted.mkString(",")) ++
         byRole.map { case (r, (n, a)) => s"role.$r" -> s"$n:$a" }
       val tmp = Paths.get(root, "stats.json.tmp")
       Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(payload))
@@ -195,7 +198,9 @@ object BuildPipeline {
       IceLite.read(spark, table("tf")),
       IceLite.read(spark, table("terms")),
       IceLite.read(spark, table("terms_by_role")),
-      stats, byRole)
+      stats, byRole,
+      roleList = statsMap.get("roles")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil))
   }
 
   /** Load the compressed posting segments from a build root. */

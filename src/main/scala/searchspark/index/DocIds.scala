@@ -38,24 +38,29 @@ object DocIds {
     StructField("ts", TimestampType, nullable = true),
     StructField("text", StringType, nullable = true)))
 
-  /** Assign ids over the indexable subset of `turns`.
-    * Blank-text turns (the failed-fetch analog, Link.java:110-116) are
-    * excluded here and surface only in build metrics. Duplicate
-    * (conv_id, turn_idx) keys are deduplicated DETERMINISTICALLY —
-    * the max (ts, role, tool, text) tuple survives — mirroring the
-    * reference's unique (site_id, path(255)) upsert (A5/C1,
-    * Link.java:172-186) without dropDuplicates' arbitrary-row pick.
-    * Fully columnar (ZipIndex) — no encoder round trip. */
-  def assign(spark: SparkSession, turns: Dataset[Turn], partitions: Int): DataFrame = {
+  /** The SINGLE deterministic key-dedup used by cold builds AND
+    * incremental deltas (they must agree or cold-vs-incremental
+    * equivalence breaks): keep the max (ts, role, tool, text) tuple per
+    * (conv_id, turn_idx) — mirroring the reference's unique
+    * (site_id, path(255)) upsert (A5/C1, Link.java:172-186) without
+    * dropDuplicates' arbitrary-row pick. Blank-text turns (the
+    * failed-fetch analog, Link.java:110-116) are excluded. */
+  def dedupIndexable(turns: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, max, struct, trim}
-    val indexable = turns.toDF()
+    turns
       .filter(col("text").isNotNull && trim(col("text")) =!= "")
       .groupBy("conv_id", "turn_idx")
       .agg(max(struct(col("ts"), col("role"), col("tool"), col("text"))).as("v"))
       .select(col("conv_id"), col("turn_idx"),
         col("v.role").as("role"), col("v.tool").as("tool"),
         col("v.ts").as("ts"), col("v.text").as("text"))
-    ZipIndex.withRank(indexable, Seq(col("conv_id"), col("turn_idx")),
+  }
+
+  /** Assign ids over the indexable (non-blank, key-deduped) subset of
+    * `turns`. Fully columnar (ZipIndex) — no encoder round trip. */
+  def assign(spark: SparkSession, turns: Dataset[Turn], partitions: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ZipIndex.withRank(dedupIndexable(turns.toDF()), Seq(col("conv_id"), col("turn_idx")),
         partitions, "docId")
       .select("docId", "conv_id", "turn_idx", "role", "tool", "ts", "text")
   }

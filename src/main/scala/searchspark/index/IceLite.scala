@@ -81,9 +81,13 @@ object IceLite {
     val snapshotId = {
       val md = metaDir(table)
       val existing = if (!Files.exists(md)) Seq.empty[Long]
-        else Files.list(md).iterator().asScala.map(_.getFileName.toString)
-          .collect { case s if s.matches("v\\d+\\.json") => s.stripPrefix("v").stripSuffix(".json").toLong }
-          .toSeq
+        else {
+          val stream = Files.list(md)
+          try stream.iterator().asScala.map(_.getFileName.toString)
+            .collect { case s if s.matches("v\\d+\\.json") => s.stripPrefix("v").stripSuffix(".json").toLong }
+            .toSeq
+          finally stream.close() // Files.list leaks a directory fd otherwise
+        }
       (existing ++ parent.map(_.snapshotId)).foldLeft(-1L)(math.max) + 1
     }
     val dataDir = Paths.get(table, "data", s"snap-$snapshotId")
@@ -101,7 +105,8 @@ object IceLite {
     // second scan of the data just written (at a 100 TB commit a re-read
     // for counting would double the write cost; footers are O(KB/file))
     val hconf = spark.sessionState.newHadoopConf()
-    val files = Files.list(dataDir).iterator().asScala
+    val dataStream = Files.list(dataDir)
+    val files = try dataStream.iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.getFileName.toString)
       .map { p =>
@@ -111,6 +116,7 @@ object IceLite {
         val rows = try reader.getRecordCount finally reader.close()
         FileEntry(p.toString, Files.size(p), rows)
       }
+    finally dataStream.close()
     val snap = Snapshot(snapshotId, parent.map(_.snapshotId).getOrElse(-1L),
       operation, files.map(_.rows).sum, files, props)
 

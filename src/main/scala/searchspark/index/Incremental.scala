@@ -59,19 +59,12 @@ object Incremental {
     val effShardSize = manifestShard
       .orElse(Some(shardSize).filter(_ > 0)).getOrElse(PostingIndex.DefaultShardSize)
 
-    // same deterministic key-dedup as the cold build (DocIds.assign):
+    // same deterministic key-dedup as the cold build (shared helper —
     // a delta batch repeating a (conv_id, turn_idx) key would otherwise
     // produce multiple docs_raw rows sharing one docId, breaking the
     // tf-rows-unique-per-(docId, term) invariant df/conjunctive/codec
-    // all rely on
-    val indexable0 = newTurns
-      .filter((t: Turn) => t.text != null && t.text.trim.nonEmpty)
-    val newDf = indexable0.toDF()
-      .groupBy("conv_id", "turn_idx")
-      .agg(max(struct(col("ts"), col("role"), col("tool"), col("text"))).as("v"))
-      .select(col("conv_id"), col("turn_idx"),
-        col("v.role").as("role"), col("v.tool").as("tool"),
-        col("v.ts").as("ts"), col("v.text").as("text"))
+    // all rely on)
+    val newDf = DocIds.dedupIndexable(newTurns.toDF())
     val indexable = newDf.as[Turn](newTurns.encoder)
 
     val oldKeys = docsRawOld.select(col("docId"), col("conv_id"), col("turn_idx"))
@@ -137,10 +130,24 @@ object Incremental {
     val (stats, byRole) = IndexBuild.corpusStats(docsRaw, tf, totalTurns)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     mapper.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    // APPEND-ONLY role dictionary: existing roles keep their position
+    // (kept posting shards encode ids under it and are not re-encoded);
+    // roles new to this append go at the END, sorted among themselves.
+    // A role with no remaining docs stays listed — ids must never move.
+    val statsPath = Paths.get(root, "stats.json")
+    val oldRoles: Seq[String] =
+      if (!java.nio.file.Files.exists(statsPath)) Nil
+      else {
+        val ref = new com.fasterxml.jackson.core.`type`.TypeReference[Map[String, String]] {}
+        mapper.readValue(statsPath.toFile, ref)
+          .get("roles").map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      }
+    val mergedRoles = oldRoles ++ (byRole.keySet -- oldRoles.toSet).toSeq.sorted
     val payload = Map(
       "n" -> stats.n.toString, "avgdl" -> stats.avgdl.toString,
       "totalTurns" -> stats.totalTurns.toString,
-      "skippedBlank" -> stats.skippedBlank.toString) ++
+      "skippedBlank" -> stats.skippedBlank.toString,
+      "roles" -> mergedRoles.mkString(",")) ++
       byRole.map { case (r, (n, a)) => s"role.$r" -> s"$n:$a" }
     val tmp = Paths.get(root, "stats.json.tmp")
     java.nio.file.Files.write(tmp,

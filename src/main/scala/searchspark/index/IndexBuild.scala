@@ -23,13 +23,19 @@ final case class BuiltIndex(
     terms: DataFrame,       // term, termId, df, cf        (global dictionary)
     termsByRole: DataFrame, // role, term, df              (scope-local df)
     stats: CorpusStats,
-    statsByRole: Map[String, (Long, Double)]) { // role -> (N, avgdlE1)
+    statsByRole: Map[String, (Long, Double)], // role -> (N, avgdlE1)
+    roleList: Seq[String] = Nil) { // APPEND-ONLY role dictionary order
 
-  /** Compact role ids for the posting codec / scoped scans: rank in the
-    * sorted distinct-role list (derived from statsByRole — no Spark job,
-    * survives BuildPipeline persistence via stats.json). */
+  /** Compact role ids for the posting codec / scoped scans: position in
+    * the APPEND-ONLY `roleList` (cold build: sorted distinct roles;
+    * incremental appends only ever add new roles at the END, persisted
+    * via stats.json). Ids must never be remapped: kept posting shards
+    * are not re-encoded on append, so a rank-in-current-sorted-set
+    * mapping would silently corrupt scoped search the moment an append
+    * introduced a role that sorts before an existing one. */
   lazy val roleIds: Map[String, Int] =
-    statsByRole.keys.toSeq.sorted.zipWithIndex.toMap
+    (if (roleList.nonEmpty) roleList
+     else statsByRole.keys.toSeq.sorted).zipWithIndex.toMap
 
   def cache(): BuiltIndex = {
     docs.cache(); tf.cache(); terms.cache(); termsByRole.cache(); this
@@ -164,7 +170,8 @@ object IndexBuild {
 
     val (stats, byRole) = phase("stats")(corpusStats(docsRaw, tf, totalTurns))
     turnsCached.unpersist()
-    BuiltIndex(docsRaw, tf, terms, byRoleDf, stats, byRole)
+    BuiltIndex(docsRaw, tf, terms, byRoleDf, stats, byRole,
+      roleList = byRole.keys.toSeq.sorted)
   }
 
   /** Global + per-role scalar stats. avgdl (E1 units) = exact Long sum /

@@ -39,11 +39,29 @@ object Ivf {
 
   /** Driver-side memo: one Index per (corpus path signature) — queries
     * after the first reuse the codebook + assignment (an index is a
-    * build artifact, not per-query work). */
-  private val memo = scala.collection.concurrent.TrieMap.empty[String, Index]
+    * build artifact, not per-query work). BOUNDED: each entry pins two
+    * cached datasets, so the oldest entry is unpersisted and evicted
+    * past [[MemoMax]] distinct corpora. */
+  private val MemoMax = 4
+  private val memo = new java.util.LinkedHashMap[String, Index](8, 0.75f, true)
 
   def indexFor(emb: DataFrame, key: String, k: Int, iters: Int): Index =
-    memo.getOrElseUpdate(key, build(emb, k, iters))
+    memo.synchronized {
+      val hit = memo.get(key)
+      if (hit != null) hit
+      else {
+        val idx = build(emb, k, iters)
+        memo.put(key, idx)
+        if (memo.size > MemoMax) {
+          val it = memo.entrySet().iterator()
+          val oldest = it.next().getValue
+          it.remove()
+          oldest.assign.unpersist()
+          oldest.vecs.unpersist()
+        }
+        idx
+      }
+    }
 
   private def dot(a: Array[Float], c: Array[Double]): Double = {
     var s = 0.0; var i = 0

@@ -67,12 +67,16 @@ object MediaOps {
       }
       out
     } else if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) {
-      // walk RIFF chunks to `fmt `
+      // walk RIFF chunks to `fmt `; a corrupt/adversarial size field
+      // (negative, or so large the cursor stops advancing) aborts the
+      // walk — this runs on arbitrary payloads inside executor tasks,
+      // so it must never loop or index out of bounds
       var p = 12
       var rate: Option[Int] = None
-      while (rate.isEmpty && p + 8 <= b.length) {
+      while (rate.isEmpty && p >= 0 && p + 8 <= b.length) {
         val sz = leInt(b, p + 4)
         if (ascii(b, p, "fmt ") && p + 16 <= b.length) rate = Some(leInt(b, p + 12))
+        else if (sz < 0) p = -1 // malformed → abort
         else p += 8 + sz + (sz & 1)
       }
       ("wav", None, None, rate)

@@ -234,6 +234,9 @@ object SimOps {
       labels = next
       guard += 1
     }
+    require(changed == 0,
+      s"component propagation did not converge in $guard passes — component " +
+        "diameter exceeds the guard; raise it rather than emit split clusters")
     val out = labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
       .orderBy("doc_id")
     edges.unpersist()

@@ -38,12 +38,14 @@ object Scoring {
 
   /** ×10 fixed-point scale of stored tf/dl (model.ZoneConfig weights are
     * E1 integers; a single-zone build stores tfE1 = 10·tf, and
-    * (10·tf)/10.0 is EXACTLY tf in IEEE doubles, so unzoned scoring is
-    * unchanged to the last bit). */
+    * (10·tf)/10.0 is EXACTLY tf in IEEE doubles). Note the dl term is
+    * only scale-invariant up to the last ulp — fl((10S)/n) need not be
+    * 10·fl(S/n) — which is fine because EVERY scoring path (engine,
+    * parity, scalar oracle) computes in the same E1 units; rank identity
+    * is between them, never against a token-unit reformulation. */
   val TfScaleE1 = 10
 
-  /** One term's BM25 partial for a ×10-scaled (tfE1, dlE1) pair.
-    * dlE1/avgdlE1 is scale-invariant, so only tf needs unscaling. */
+  /** One term's BM25 partial for a ×10-scaled (tfE1, dlE1) pair. */
   def partialE1(idfT: Double, tfE1: Long, dlE1: Long, avgdlE1: Double): Double = {
     val t = tfE1 / 10.0
     idfT * t / (t + K1 * (1.0 - B + B * dlE1 / avgdlE1))

@@ -130,9 +130,12 @@ object Wand {
         val shardTops = scatter((surviving, bIdf, bOrder, avgdl, k, roleId))
 
         // per shard: exact count when nothing was skipped there, else
-        // the systematic-sample estimate (deterministic)
-        val total = shardTops.map { case (exact, sampleCand, skippedAny, _) =>
-          if (!skippedAny) exact else sampleCand * ApproxSampleRate
+        // the systematic-sample estimate (deterministic), floored at the
+        // shard's returned hits — real candidates the sample may have
+        // missed entirely (a zero estimate must never erase real hits)
+        val total = shardTops.map { case (exact, sampleCand, skippedAny, tops) =>
+          if (!skippedAny) exact
+          else math.max(sampleCand * ApproxSampleRate, tops.length.toLong)
         }.sum
         if (total == 0) return SearchResult(ok = false, 0, Nil, "Nothing found")
         val merged = shardTops.flatMap(_._4)

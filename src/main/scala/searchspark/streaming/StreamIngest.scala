@@ -31,28 +31,42 @@ import searchspark.model.Turn
   */
 object StreamIngest {
 
-  private def watermarkPath(root: String) = Paths.get(root, "stream_batch_watermark")
+  /** Batch ids only mean something WITHIN one streaming checkpoint —
+    * a fresh/different checkpoint restarts numbering at 0, so the
+    * watermark is keyed by the checkpoint identity. A restarted stream
+    * with a new checkpoint therefore re-applies from scratch, which is
+    * safe: re-appending already-indexed turns replaces them with
+    * identical content (idempotent), whereas reusing an old watermark
+    * against restarted ids would silently DROP new data. */
+  private def ckptKey(checkpointId: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(checkpointId.getBytes(StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+  }
+  private def watermarkPath(root: String, checkpointId: String) =
+    Paths.get(root, s"stream_batch_watermark_${ckptKey(checkpointId)}")
 
-  private[streaming] def lastApplied(root: String): Long = {
-    val p = watermarkPath(root)
+  private[streaming] def lastApplied(root: String, checkpointId: String): Long = {
+    val p = watermarkPath(root, checkpointId)
     if (!Files.exists(p)) -1L
     else new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
   }
 
-  private def recordApplied(root: String, batchId: Long): Unit = {
-    val tmp = Paths.get(root, "stream_batch_watermark.tmp")
+  private def recordApplied(root: String, checkpointId: String, batchId: Long): Unit = {
+    val tmp = Paths.get(root, s"stream_batch_watermark_${ckptKey(checkpointId)}.tmp")
     Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, watermarkPath(root),
+    Files.move(tmp, watermarkPath(root, checkpointId),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Apply one micro-batch (exposed for tests / manual batches). */
   def applyBatch(spark: SparkSession, root: String, batch: Dataset[Turn],
-                 batchId: Long, partitions: Int): Boolean = {
-    if (batchId <= lastApplied(root)) false // replay after crash → no-op
+                 batchId: Long, partitions: Int,
+                 checkpointId: String = "default"): Boolean = {
+    if (batchId <= lastApplied(root, checkpointId)) false // replay after crash → no-op
     else {
       if (!batch.isEmpty) Incremental.append(spark, root, batch, partitions)
-      recordApplied(root, batchId)
+      recordApplied(root, checkpointId, batchId)
       true
     }
   }
@@ -70,7 +84,7 @@ object StreamIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
-        applyBatch(spark, root, batch, batchId, partitions): Unit
+        applyBatch(spark, root, batch, batchId, partitions, checkpointDir): Unit
       }
       .start()
 

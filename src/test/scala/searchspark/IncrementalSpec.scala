@@ -61,4 +61,35 @@ class IncrementalSpec extends AnyFunSuite {
     assert(r.ok && r.hits.exists(h =>
       h.conv_id == edited.conv_id && h.turn_idx == edited.turn_idx))
   }
+
+  test("append introducing a role that sorts FIRST keeps scoped search correct") {
+    val root = Files.createTempDirectory("idx-role").toString
+    val base = TranscriptGen.localCorpus(42L, 20)
+    BuildPipeline.run(spark, ds(base), root, "gen:42:20", partitions = 4, shardSize = 256)
+    val preIdx = BuildPipeline.loadRelational(spark, root)
+    val oldRoleIds = preIdx.roleIds
+
+    // "admin" sorts before every generated role — a rank-in-sorted-set
+    // mapping would shift EVERY existing id and corrupt kept shards
+    val delta = (500L until 502L).flatMap(TranscriptGen.conversation(42L, _))
+      .map(_.copy(role = "admin"))
+    Incremental.append(spark, root, ds(delta), partitions = 4)
+
+    val idx = BuildPipeline.loadRelational(spark, root)
+    assert(oldRoleIds.forall { case (r, id) => idx.roleIds(r) == id },
+      "existing role ids must be stable across appends (append-only dictionary)")
+    assert(idx.roleIds.contains("admin"))
+
+    // scoped searches over the merged index == oracle over the union
+    val allTurns = base ++ delta
+    val oracle = new searchspark.oracle.ScalarOracle(allTurns)
+    val postings = BuildPipeline.loadPostings(spark, root)
+    val spec = new RankIdentitySpec
+    Seq("user", "assistant", "admin").foreach { role =>
+      val q = "w0001 w0002"
+      spec.assertSame(s"role-append-$role",
+        Wand.search(spark, idx, postings, q, scope = Some(role)),
+        oracle.search(q, Some(role)))
+    }
+  }
 }
