@@ -85,5 +85,15 @@ class StreamIngestSpec extends AnyFunSuite {
     val snap2 = IceLite.currentSnapshot(
       java.nio.file.Paths.get(root, "docs_raw").toString).get
     assert(snap1.snapshotId == snap2.snapshotId && snap1.totalRows == snap2.totalRows)
+
+    // a FRESH checkpoint restarts batch numbering: its watermark is
+    // independent, so the batch re-applies (idempotent replacement)
+    // rather than being silently dropped against the old watermark
+    assert(StreamIngest.applyBatch(spark, root, ds(delta), batchId = 0L,
+      partitions = 2, checkpointId = "fresh-ckpt"))
+    val snap3 = IceLite.currentSnapshot(
+      java.nio.file.Paths.get(root, "docs_raw").toString).get
+    assert(snap3.totalRows == snap2.totalRows,
+      "re-applying identical turns must not change the doc set")
   }
 }
