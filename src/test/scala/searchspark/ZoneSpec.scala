@@ -37,6 +37,27 @@ class ZoneSpec extends AnyFunSuite {
     } finally { idx.unpersist(); postings.unpersist() }
   }
 
+  test("incremental append to a ZONED build analyzes the delta under the manifest's zones") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("zone-incr").toString
+    val base = QueryFixtures.corpus(TranscriptGen.UnitConvs)
+    searchspark.index.BuildPipeline.run(spark, spark.createDataset(base), root,
+      "gen:42:zoned", partitions = 4, shardSize = 256, zones = zones)
+    val delta = (600L until 602L).flatMap(TranscriptGen.conversation(42L, _))
+    searchspark.index.Incremental.append(spark, root,
+      spark.createDataset(delta), partitions = 4)
+    // the merged tf must equal a full ZONED recompute — if the append
+    // had analyzed the delta unzoned, delta rows would carry plain
+    // 10x-count tfE1 instead of the weighted values
+    val docsRaw = searchspark.index.IceLite.read(spark,
+      java.nio.file.Paths.get(root, "docs_raw").toString)
+    val tfIncr = searchspark.index.IceLite.read(spark,
+      java.nio.file.Paths.get(root, "tf").toString)
+    val tfFull = searchspark.index.IndexBuild.tfFromDocs(docsRaw, zones)
+    assert(tfIncr.exceptAll(tfFull).count() == 0 && tfFull.exceptAll(tfIncr).count() == 0,
+      "zoned incremental tf != zoned full recompute")
+  }
+
   test("zone weighting flips a ranking the unzoned build breaks by docId") {
     import spark.implicits._
     val ts = new Timestamp(0L)
