@@ -119,21 +119,24 @@ object OracleSql {
       s"${cte()} SELECT doc_id, term, tf FROM tfx ORDER BY doc_id, term",
 
     // reference C5 overwrite rule (Link.java:209-216): body replaces
-    // title; DuckDB positions are 1-based (i <= 8 ⇔ Spark pos < 8)
-    "c5_zone_weighted_tf" ->
+    // title; DuckDB positions are 1-based (i <= titleTokens ⇔ Spark
+    // pos < titleTokens); generated from the SAME ZoneConfig as Spark
+    "c5_zone_weighted_tf" -> {
+      val z = searchspark.ops.TextOps.DriverZoneConfig
       s"""WITH docsrc AS (SELECT * FROM documents),
          |lx AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS l FROM docsrc),
          |px AS (SELECT doc_id, l[i] AS tok, i FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM lx)),
          |ft AS (SELECT doc_id, tok, i FROM px
          |       WHERE (length(tok) > 1 OR tok IN ($keep)) AND tok NOT IN ($stop)),
-         |tz AS (SELECT doc_id, $lemmaCase AS term, (i <= 8) AS is_title FROM ft),
+         |tz AS (SELECT doc_id, $lemmaCase AS term, (i <= ${z.titleTokens}) AS is_title FROM ft),
          |g AS (SELECT doc_id, term,
          |             sum(CASE WHEN is_title THEN 1 ELSE 0 END)::BIGINT AS tf_title,
          |             sum(CASE WHEN is_title THEN 0 ELSE 1 END)::BIGINT AS tf_body
          |      FROM tz GROUP BY doc_id, term)
          |SELECT doc_id, term, tf_title, tf_body,
-         |       (CASE WHEN tf_body > 0 THEN tf_body * 8 ELSE tf_title * 10 END)::BIGINT AS rank_e1
-         |FROM g ORDER BY doc_id, term""".stripMargin,
+         |       (CASE WHEN tf_body > 0 THEN tf_body * ${z.bodyWeightE1} ELSE tf_title * ${z.titleWeightE1} END)::BIGINT AS rank_e1
+         |FROM g ORDER BY doc_id, term""".stripMargin
+    },
 
     "c6_doc_stats" ->
       s"${cte()} SELECT doc_id, dl FROM dlx ORDER BY doc_id",

@@ -28,9 +28,9 @@ object HeadQueryBench {
 
     val turns = TranscriptGen.corpus(spark, TranscriptGen.DefaultSeed, convs, cores * 2).cache()
     turns.count()
-    val idx = IndexBuild.build(spark, turns, partitions = cores * 2)
     val engine = SearchEngine.fromTurns(spark, turns, partitions = cores * 2,
       shardSize = 16384)
+    val idx = engine.idx // one build, shared with the engine
 
     // worst case: the two highest-df content stems → huge candidate set
     val headTerms = idx.terms.filter(col("term").rlike("^w\\d{4}"))

@@ -46,13 +46,16 @@ object DocIds {
     * dropDuplicates' arbitrary-row pick. Blank-text turns (the
     * failed-fetch analog, Link.java:110-116) are excluded. */
   def dedupIndexable(turns: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, max, struct, trim}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max, struct, trim}
     turns
       .filter(col("text").isNotNull && trim(col("text")) =!= "")
       .groupBy("conv_id", "turn_idx")
       .agg(max(struct(col("ts"), col("role"), col("tool"), col("text"))).as("v"))
       .select(col("conv_id"), col("turn_idx"),
-        col("v.role").as("role"), col("v.tool").as("tool"),
+        // null roles normalized to "" AT INGEST: every downstream
+        // role-keyed structure (role dictionary, per-posting roleIds,
+        // scoped filters, per-role stats) assumes non-null equality
+        coalesce(col("v.role"), lit("")).as("role"), col("v.tool").as("tool"),
         col("v.ts").as("ts"), col("v.text").as("text"))
   }
 

@@ -85,7 +85,11 @@ object Incremental {
 
     val oldTotalTurns = IceLite.currentSnapshot(table("docs_raw"))
       .flatMap(_.props.get("totalTurns")).map(_.toLong).getOrElse(0L)
-    val newTotalTurns = oldTotalTurns + newTurns.count() - nReplaced
+    // totalTurns grows only by genuinely NEW docs: counting a delta's
+    // raw rows would drift the metric upward on every idempotent replay
+    // of a batch containing blanks/duplicate keys (delta blanks are
+    // dropped pre-index and deliberately not added to skippedBlank)
+    val newTotalTurns = oldTotalTurns + nAdded
 
     val docsRawNew = docsRawOld
       .join(touched, Seq("docId"), "left_anti")

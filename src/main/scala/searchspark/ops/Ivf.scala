@@ -45,6 +45,9 @@ object Ivf {
   private val MemoMax = 4
   private val memo = new java.util.LinkedHashMap[String, Index](8, 0.75f, true)
 
+  /** NOTE: the key assumes the corpus at that signature is immutable
+    * for the session (true for the driver's testdata dirs); regenerating
+    * files under the same path requires a new key or a session restart. */
   def indexFor(emb: DataFrame, key: String, k: Int, iters: Int): Index =
     memo.synchronized {
       val hit = memo.get(key)

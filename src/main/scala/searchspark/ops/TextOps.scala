@@ -48,22 +48,27 @@ object TextOps {
   /** C5: zone-weighted TF with the reference's exact overwrite rule
     * (Link.java:88-100,209-216): rank = tf_body·0.8 when the term occurs
     * in body, else tf_title·1.0 — emitted ×10 as integer `rank_e1` so
-    * the cross-engine compare is exact. Zones: first `titleTokens` raw
-    * tokens of the doc are the "title" (transcripts lack HTML tags). */
-  def zoneWeightedTf(docs: DataFrame, titleTokens: Int = 8): DataFrame = {
+    * the cross-engine compare is exact. Zones: first `z.titleTokens` raw
+    * tokens of the doc are the "title" (transcripts lack HTML tags).
+    * One ZoneConfig drives this, IndexBuild.tfFromDocs' zoned branch and
+    * the DuckDB oracle — the weights cannot silently diverge. */
+  val DriverZoneConfig: searchspark.model.ZoneConfig = searchspark.model.ZoneConfig(8)
+
+  def zoneWeightedTf(docs: DataFrame,
+                     z: searchspark.model.ZoneConfig = DriverZoneConfig): DataFrame = {
     val tok = col("tok")
     docs.select(col("doc_id"),
         posexplode(Analyzer.tokensCol(col("text"))).as(Seq("pos", "tok")))
       .filter(length(tok) > 1 || tok.isInCollection(Analyzer.KeepShort.toSeq.sorted))
       .filter(!tok.isInCollection(Analyzer.Stopwords.toIndexedSeq))
-      .select(col("doc_id"), (col("pos") < titleTokens).as("is_title"),
+      .select(col("doc_id"), (col("pos") < z.titleTokens).as("is_title"),
         Analyzer.lemmaCol(tok).as("term"))
       .groupBy("doc_id", "term")
       .agg(sum(when(col("is_title"), 1L).otherwise(0L)).as("tf_title"),
         sum(when(col("is_title"), 0L).otherwise(1L)).as("tf_body"))
       .withColumn("rank_e1",
-        when(col("tf_body") > 0, col("tf_body") * 8)
-          .otherwise(col("tf_title") * 10).cast("long"))
+        when(col("tf_body") > 0, col("tf_body") * z.bodyWeightE1)
+          .otherwise(col("tf_title") * z.titleWeightE1).cast("long"))
       .orderBy("doc_id", "term")
   }
 
@@ -148,7 +153,9 @@ object TextOps {
     val scoped = scopeLang.map(l => docs.filter(col("lang") === l)).getOrElse(docs)
     // one analyzer pass: tf is cached and reused by doc lengths, the df
     // lookup, and the scoring join (uncached this plan tokenizes the
-    // whole corpus three times)
+    // whole corpus three times). Spark's cache manager dedups by
+    // logical plan, so repeated calls over the same corpus share ONE
+    // pinned entry (bounded by distinct inputs, not call count).
     val t = tf(scoped).cache()
     val dls = scoped.select("doc_id")
       .join(t.groupBy("doc_id").agg(sum("tf").as("dl")), Seq("doc_id"), "left")

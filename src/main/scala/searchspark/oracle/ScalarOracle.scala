@@ -26,9 +26,11 @@ import searchspark.query.{Scoring, Snippets}
 final class ScalarOracle(turns: Seq[Turn], zones: Option[ZoneConfig] = None) {
 
   // --- build ------------------------------------------------------------
-  /** Indexed docs in stable (conv_id, turn_idx) order. */
+  /** Indexed docs in stable (conv_id, turn_idx) order; null roles
+    * normalized to "" like the engine's ingest (DocIds.dedupIndexable). */
   val docs: Vector[Turn] =
     turns.filter(t => t.text != null && t.text.trim.nonEmpty)
+      .map(t => if (t.role == null) t.copy(role = "") else t)
       .sortBy(t => (t.conv_id, t.turn_idx)).toVector
 
   val skippedBlank: Long = turns.size.toLong - docs.size

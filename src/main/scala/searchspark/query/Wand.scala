@@ -131,11 +131,12 @@ object Wand {
 
         // per shard: exact count when nothing was skipped there, else
         // the systematic-sample estimate (deterministic), floored at the
-        // shard's returned hits — real candidates the sample may have
-        // missed entirely (a zero estimate must never erase real hits)
-        val total = shardTops.map { case (exact, sampleCand, skippedAny, tops) =>
+        // exact count of candidates the scan DID intersect — already
+        // computed, and strictly tightens a sample that under-shoots
+        // (a zero estimate must never erase real hits)
+        val total = shardTops.map { case (exact, sampleCand, skippedAny, _) =>
           if (!skippedAny) exact
-          else math.max(sampleCand * ApproxSampleRate, tops.length.toLong)
+          else math.max(sampleCand * ApproxSampleRate, exact)
         }.sum
         if (total == 0) return SearchResult(ok = false, 0, Nil, "Nothing found")
         val merged = shardTops.flatMap(_._4)

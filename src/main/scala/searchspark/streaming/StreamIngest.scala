@@ -33,11 +33,24 @@ object StreamIngest {
 
   /** Batch ids only mean something WITHIN one streaming checkpoint —
     * a fresh/different checkpoint restarts numbering at 0, so the
-    * watermark is keyed by the checkpoint identity. A restarted stream
-    * with a new checkpoint therefore re-applies from scratch, which is
-    * safe: re-appending already-indexed turns replaces them with
-    * identical content (idempotent), whereas reusing an old watermark
-    * against restarted ids would silently DROP new data. */
+    * watermark is keyed by the checkpoint IDENTITY: Spark's persisted
+    * query id from `<checkpointDir>/metadata` (a new uuid every time
+    * the checkpoint is created, including delete+recreate of the SAME
+    * path — the path string alone would keep the stale watermark and
+    * silently drop restarted batches). A restarted stream with a new
+    * checkpoint therefore re-applies from scratch, which is safe:
+    * re-appending already-indexed turns replaces them with identical
+    * content (idempotent). */
+  private[streaming] def checkpointIdentity(checkpointDir: String): String = {
+    val p = Paths.get(checkpointDir, "metadata")
+    if (!Files.exists(p)) checkpointDir
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s)
+        .map(_.group(1)).getOrElse(checkpointDir)
+    }
+  }
+
   private def ckptKey(checkpointId: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(checkpointId.getBytes(StandardCharsets.UTF_8))
@@ -84,7 +97,10 @@ object StreamIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
-        applyBatch(spark, root, batch, batchId, partitions, checkpointDir): Unit
+        // resolved per batch: Spark has written the metadata id by the
+        // time the first batch fires
+        applyBatch(spark, root, batch, batchId, partitions,
+          checkpointIdentity(checkpointDir)): Unit
       }
       .start()
 
