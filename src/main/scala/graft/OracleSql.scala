@@ -202,6 +202,33 @@ object OracleSql {
          |            THEN 'en' ELSE 'other' END AS pred_lang
          |FROM rawtok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // PII scrub: same RE2-compatible patterns as Spark (shared consts);
+    // 'g' flag because DuckDB regexp_replace is first-match by default
+    "text_pii_scrub" -> {
+      val (e, u, d) = (searchspark.ops.TextOps.PiiEmail,
+        searchspark.ops.TextOps.PiiUrl, searchspark.ops.TextOps.PiiDigits)
+      s"""SELECT doc_id,
+         |       len(regexp_extract_all(text, '$e'))::BIGINT AS n_emails,
+         |       len(regexp_extract_all(text, '$u'))::BIGINT AS n_urls,
+         |       len(regexp_extract_all(text, '$d'))::BIGINT AS n_digit_runs,
+         |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |           '$e', '<EMAIL>', 'g'), '$u', '<URL>', 'g'), '$d', '<NUM>', 'g')) AS scrubbed_md5
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // decontamination: blocklist 3-grams generated from the SAME inline
+    // eval fixture the Spark side broadcasts
+    "decontaminate" -> {
+      val bl = searchspark.ops.TextOps.evalShingles(searchspark.ops.TextOps.EvalFixture)
+        .map(s => s"('$s')").mkString(", ")
+      s"""${cte()}$shingCte,
+         |bl(shingle) AS (VALUES $bl),
+         |hits AS (SELECT doc_id, count(*)::BIGINT AS n FROM shing JOIN bl USING (shingle) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_contaminated,
+         |       coalesce(h.n, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""".stripMargin
+    },
+
     "text_quality" ->
       """SELECT doc_id, length(text)::BIGINT AS n_chars_txt,
         |       (length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) * 1000000 // length(text))::BIGINT AS alnum_ratio_e6,

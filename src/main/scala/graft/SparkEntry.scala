@@ -62,6 +62,8 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => searchspark.ops.Ivf.annIvf(s, d, 0L, 10)),
     // — text analysis —
     "text_langid" -> ((s, d) => TextOps.langId(TextOps.documents(s, d))),
+    "text_pii_scrub" -> ((s, d) => TextOps.piiScrub(TextOps.documents(s, d))),
+    "decontaminate" -> ((s, d) => TextOps.decontaminate(TextOps.documents(s, d), TextOps.EvalFixture)),
     "text_quality" -> ((s, d) => TextOps.quality(TextOps.documents(s, d))),
     "text_tokcount" -> ((s, d) => TextOps.tokenCounts(TextOps.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(TextOps.documents(s, d))),

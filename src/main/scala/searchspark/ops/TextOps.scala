@@ -279,6 +279,69 @@ object TextOps {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** PII scrubbing: redact emails / long digit runs (phone/account-ish)
+    * / URLs with typed placeholders and count replacements per class —
+    * the masking pass a training-data pipeline runs before tokenizing.
+    * One narrow projection (regexp_replace/regexp_count are codegen'd);
+    * patterns kept RE2-compatible so DuckDB computes identical results. */
+  // shared RE2-compatible PII patterns — the DuckDB oracle embeds these
+  // exact strings, so Spark/DuckDB regex semantics cannot diverge
+  val PiiEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PiiUrl = "https?://[^\\s]+"
+  val PiiDigits = "[0-9][0-9 ()+.-]{7,}[0-9]" // 9+ chars of phone-ish material
+
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), PiiEmail, "<EMAIL>"),
+        PiiUrl, "<URL>"),
+      PiiDigits, "<NUM>")
+    docs.select(col("doc_id"),
+        regexp_count(col("text"), lit(PiiEmail)).as("n_emails"),
+        regexp_count(col("text"), lit(PiiUrl)).as("n_urls"),
+        regexp_count(col("text"), lit(PiiDigits)).as("n_digit_runs"),
+        md5(scrubbed).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Decontamination: flag docs sharing any word-3-gram with a blocklist
+    * of held-out evaluation texts (the n-gram-overlap test-set leak
+    * check). The blocklist shingles are BROADCAST (eval sets are small);
+    * the corpus side is the same shingle projection the dedup ops use —
+    * one narrow scan + broadcast semi-join, no shuffle of the corpus. */
+  /** Word-3-gram blocklist of a held-out eval set (shared with the
+    * DuckDB oracle, which embeds these as literals). */
+  def evalShingles(evalTexts: Seq[String]): Seq[String] =
+    evalTexts.flatMap { t =>
+      val toks = Analyzer.tokenize(t)
+      if (toks.length < 3) Nil
+      else (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" "))
+    }.distinct
+
+  def decontaminate(docs: DataFrame, evalTexts: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bl = broadcast(evalShingles(evalTexts).toDF("shingle"))
+    docs.select("doc_id")
+      .join(
+        shingles(docs).join(bl, Seq("shingle"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic inline "held-out eval set" for the decontamination
+    * driver query: fragments lifted verbatim from testdata-style
+    * generator vocabulary so some docs DO overlap, plus one fragment
+    * that cannot. Both engines embed these exact literals. */
+  val EvalFixture: Seq[String] = Seq(
+    "table scan merge part window small hash",
+    "spark group query row data slow",
+    "value merge line table data line join",
+    "the quick brown fox jumps over nothing here")
+
   /** Word k-gram shingles of each doc, distinct per doc. */
   def shingles(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(col("doc_id"), Analyzer.tokensCol(col("text")).as("toks"))
