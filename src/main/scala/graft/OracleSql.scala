@@ -202,6 +202,23 @@ object OracleSql {
          |            THEN 'en' ELSE 'other' END AS pred_lang
          |FROM rawtok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Gopher-style repetition signals; tokens via the shared B1 split
+    "text_repetition" ->
+      """WITH lx AS (SELECT doc_id,
+        |             CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+        |                  THEN []::VARCHAR[]
+        |                  ELSE string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') END AS l
+        |      FROM documents),
+        |gx AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+        |       FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM lx WHERE len(l) >= 2)),
+        |gc AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM gx GROUP BY doc_id, g),
+        |ga AS (SELECT doc_id, max(c) AS max_g, sum(c) AS n_g FROM gc GROUP BY doc_id),
+        |dx AS (SELECT doc_id, len(l)::BIGINT AS n_toks, len(list_distinct(l))::BIGINT AS n_distinct FROM lx)
+        |SELECT d.doc_id,
+        |       coalesce(ga.max_g * 1000000 // ga.n_g, 0)::BIGINT AS top_2gram_frac_e6,
+        |       (CASE WHEN d.n_toks > 0 THEN d.n_distinct * 1000000 // d.n_toks ELSE 0 END)::BIGINT AS distinct_ratio_e6
+        |FROM dx d LEFT JOIN ga ON d.doc_id = ga.doc_id ORDER BY d.doc_id""".stripMargin,
+
     // PII scrub: same RE2-compatible patterns as Spark (shared consts);
     // 'g' flag because DuckDB regexp_replace is first-match by default
     "text_pii_scrub" -> {

@@ -63,6 +63,7 @@ object SparkEntry {
     // — text analysis —
     "text_langid" -> ((s, d) => TextOps.langId(TextOps.documents(s, d))),
     "text_pii_scrub" -> ((s, d) => TextOps.piiScrub(TextOps.documents(s, d))),
+    "text_repetition" -> ((s, d) => TextOps.repetition(TextOps.documents(s, d))),
     "decontaminate" -> ((s, d) => TextOps.decontaminate(TextOps.documents(s, d), TextOps.EvalFixture)),
     "text_quality" -> ((s, d) => TextOps.quality(TextOps.documents(s, d))),
     "text_tokcount" -> ((s, d) => TextOps.tokenCounts(TextOps.documents(s, d))),

@@ -264,6 +264,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Repetition signals (the Gopher-style repetition filters a quality
+    * pipeline gates on): per doc, the fraction of word-2-gram mass in
+    * the single most frequent 2-gram, and the distinct-token ratio —
+    * both as exact ×10⁶ integers. Degenerate docs (<2 tokens) emit 0.
+    * One narrow scan → explode → two aggs, all map-side combined. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), Analyzer.tokensCol(col("text")).as("toks"))
+    val grams = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))"))
+        .as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("max_g"), sum("c").as("n_g"))
+    val dist = toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    dist.join(grams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(expr("max_g * 1000000 div n_g"), lit(0L)).as("top_2gram_frac_e6"),
+        when(col("n_toks") > 0, expr("n_distinct * 1000000 div n_toks"))
+          .otherwise(lit(0L)).as("distinct_ratio_e6"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val/test split — the standard hash-split a
     * training-data pipeline needs: bucket = md5-derived 60-bit hash of
     * (salt, doc_id) mod 100, train < 90 ≤ val < 95 ≤ test. Stable under
