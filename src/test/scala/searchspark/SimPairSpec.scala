@@ -54,11 +54,26 @@ class SimPairSpec extends AnyFunSuite {
     assert(rows(SimOps.dedupClustersDistributed(pairs)) == expect) // fixpoint path
   }
 
+  test("dedupClustersDistributed resolves a >50-hop chain (no pass guard split)") {
+    import TestSpark.spark.implicits._
+    // a 200-edge path 0-1-2-…-200: diameter 200, which crashed the
+    // round-2 fixpoint at its 50-pass guard; pointer jumping converges
+    // in O(log d) passes and must label every node with 0
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = SimOps.dedupClustersDistributed(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (0L to 200L).map(i => (i, 0L)))
+    // and the public entry under a tiny threshold takes the same path
+    val got2 = SimOps.dedupClusters(chain, smallGraphMax = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == (0L to 200L).map(i => (i, 0L)))
+  }
+
   /** Planted near-dup fixture: 30 base vectors + a close copy of each
-    * (cosine ≥ ~0.999) among 64-dim noise. Deterministic seed. */
-  private def plantedEmb(): DataFrame = {
+    * (cosine ≥ ~0.999) among `dim`-dim noise. Deterministic seed. */
+  private def plantedEmb(dim: Int = 64): DataFrame = {
     val rnd = new scala.util.Random(42)
-    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
     val rows = (0 until 30).flatMap { i =>
       val base = vec()
       val dup = base.map(x => x + (rnd.nextGaussian() * 0.02).toFloat)
@@ -78,5 +93,18 @@ class SimPairSpec extends AnyFunSuite {
     val p = plan(lsh)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"LSH candidates must come from the band equi-join:\n$p")
+  }
+
+  test("embedLshPairs at 256-dim: broadcast-kernel signatures, plan free of plane literals") {
+    val emb = plantedEmb(dim = 256)
+    val lsh = SimOps.embedLshPairs(emb, 0.9)
+    val exact = SimOps.embedCosinePairs(emb, 0.9)
+    assert(rows(lsh) == rows(exact), "recall must hold at high dim too")
+    // the round-2 form baked planes×dim literal hyperplane components
+    // into the Catalyst plan (16k literals at 1024-dim); the kernel form
+    // must keep the plan size independent of dim
+    val p = plan(lsh)
+    val w00 = SimOps.planeW(0, 0).toString
+    assert(!p.contains(w00), "hyperplane components must be broadcast, not plan literals")
   }
 }

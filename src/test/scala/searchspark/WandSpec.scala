@@ -137,11 +137,47 @@ class WandSpec extends AnyFunSuite {
     val approx = Wand.search(spark, sIdx, sPost, "xx yy", exactTotal = false)
     assert(exact.count == 1519, "fixture sanity: aaaa + bbb docs are the candidates")
     assert(approx.hits == exact.hits, "approx must not change the page")
-    // candidates are docIds 0..1518 → 190 sampled (mod 8) → estimate
-    // 1520: off-by-one from truth proves docs were skipped AND the
-    // systematic estimate reconstructs the total almost exactly
-    assert(approx.count == 1520,
-      s"expected the deterministic sample estimate, got ${approx.count} (exact ${exact.count})")
+    // candidates are docIds 0..1518; the sample is the bit-mixed
+    // systematic one (fmix64(d) mod 8 == 0 — decorrelated from role/
+    // docId parity, round-2 ADVICE), so the pinned expectation is
+    // 8 × |sampled candidates|: a deterministic value that differs from
+    // the truth (proving docs WERE skipped) yet reconstructs it closely
+    val sampled = (0L to 1518L).count(d => (Wand.fmix64(d) & 7L) == 0L)
+    assert(approx.count == 8L * sampled,
+      s"expected the deterministic sample estimate ${8L * sampled}, " +
+        s"got ${approx.count} (exact ${exact.count})")
+    assert(math.abs(approx.count - exact.count).toDouble <= 0.1 * exact.count,
+      s"estimate ${approx.count} strayed >10% from ${exact.count}")
+  }
+
+  test("mergeShardTops: per-shard totals resolved, tops bounded to k") {
+    val topsA = Array((1L, 9.0), (2L, 7.0))
+    val topsB = Array((3L, 8.0), (4L, 6.0))
+    // shard A exact (nothing skipped): contributes 5; shard B skipped:
+    // contributes max(2·8, 3) = 16 → merged total 21
+    val merged = Wand.mergeShardTops(Iterator(
+      (5L, 0L, false, topsA), (3L, 2L, true, topsB)), k = 3).toSeq
+    assert(merged.size == 1)
+    val (total, sample, skipped, top) = merged.head
+    assert(total == 21L && sample == 0L && !skipped)
+    assert(top.toSeq == Seq((1L, 9.0), (3L, 8.0), (2L, 7.0)))
+    assert(Wand.mergeShardTops(Iterator.empty, k = 3).isEmpty)
+  }
+
+  test("hot-path driver fan-in scales with partitions, not shards") {
+    val fine = PostingIndex.build(spark, idx, shardSize = 64).cache()
+    try {
+      val engine = searchspark.query.SearchEngine(spark, idx, fine)
+      val nShards = fine.select("shard").distinct().count()
+      val nParts = math.max(spark.sparkContext.defaultParallelism / 4, 4)
+      assert(nShards > nParts, s"fixture sanity: $nShards shards vs $nParts partitions")
+      val q = QueryFixtures.deriveQueries(oracle).find(_.scope.isEmpty).get
+      val r = engine.search(q.query, None, q.offset, q.limit)
+      assert(r.ok)
+      assert(Wand.lastFanIn > 0 && Wand.lastFanIn <= nParts,
+        s"driver merged ${Wand.lastFanIn} entries for $nShards shards; " +
+          s"expected ≤ $nParts (one per partition)")
+    } finally fine.unpersist()
   }
 
   test("WAND agrees at different shard sizes (shard layout is invisible)") {
