@@ -34,6 +34,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
+    // the operator queries above leave caches behind (IVF memo, op-level
+    // .cache() calls); evict them and settle the heap BEFORE the latency
+    // section — round-2's p95 (891 ms vs p50 144) was eviction/GC noise
+    // from this leftover pressure landing inside the 30-sample window
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+
     // 2) engine: index-build throughput on the transcript corpus
     val t0 = System.nanoTime()
     val turns = TranscriptGen.corpus(spark, TranscriptGen.DefaultSeed,
@@ -50,9 +58,12 @@ object Bench {
     val engine = searchspark.query.SearchEngine(spark, idx, postings)
     val queries = Seq("w0003", "w0010 w0025", "w0001 w0002 w0005",
       "w0100 w0200", "w0042s w0042ing", "w0007 w0011 w0013 w0017 w0019")
-    // warmup
-    queries.foreach(q => engine.search(q))
-    val lat = (1 to 5).flatMap { _ =>
+    // warmup: two full passes (first touches the partitioned-RDD cache,
+    // second exercises JIT-compiled hot paths) so the measured window is
+    // all-warm — p95 then reflects steady-state serving, not one-time
+    // materialization
+    (1 to 2).foreach(_ => queries.foreach(q => engine.search(q)))
+    val lat = (1 to 10).flatMap { _ =>
       queries.map { q =>
         val s = System.nanoTime()
         engine.search(q)
@@ -64,8 +75,8 @@ object Bench {
 
     // scoped queries take the same zero-shuffle WAND path (round-2) —
     // latency parity with unscoped is the acceptance criterion
-    queries.foreach(q => engine.search(q, scope = Some("user")))
-    val latScoped = (1 to 5).flatMap { _ =>
+    (1 to 2).foreach(_ => queries.foreach(q => engine.search(q, scope = Some("user"))))
+    val latScoped = (1 to 10).flatMap { _ =>
       queries.map { q =>
         val s = System.nanoTime()
         engine.search(q, scope = Some("user"))

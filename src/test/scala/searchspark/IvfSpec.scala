@@ -39,6 +39,45 @@ class IvfSpec extends AnyFunSuite {
     assert(probes2.length > 8, "k-means must actually spread clusters")
   }
 
+  test("persisted index cold-loads from disk and still matches brute force") {
+    val d = sfDirs.head
+    val emb = SimOps.embeddings(spark, d)
+    val root = java.nio.file.Files.createTempDirectory("ivf-disk").toString
+    val key = s"$d|coldload"
+    val built = Ivf.indexFor(emb, key, 16, 5, diskRoot = Some(root))
+    val builtCents = built.centroids.map(_.toSeq).toSeq
+    val builtAssign = built.assign.orderBy("vec_id").collect().toSeq.map(_.toSeq)
+
+    // forget the session memo: the next indexFor MUST load the artifact,
+    // not re-run k-means. A rebuild is detectable on the filesystem — it
+    // re-saves, replacing codebook.json — so an unchanged marker mtime
+    // proves the load path ran.
+    val marker = java.nio.file.Paths.get(root, "codebook.json")
+    val savedAt = java.nio.file.Files.getLastModifiedTime(marker)
+    Ivf.clearMemo()
+    val loaded = Ivf.indexFor(emb, key, 16, 5, diskRoot = Some(root))
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == savedAt,
+      "post-restart indexFor must cold-load the artifact, not rebuild+resave")
+    assert(loaded.centroids.map(_.toSeq).toSeq == builtCents,
+      "cold-loaded codebook must be bit-identical to the built one")
+    assert(loaded.assign.orderBy("vec_id").collect().toSeq.map(_.toSeq) == builtAssign)
+
+    // and the probed query over the loaded index still recovers the
+    // exact brute-force top-k
+    val brute = SimOps.annTopK(emb, 0L, 10).collect().toSeq.map(_.toSeq)
+    val viaDisk = Ivf.query(loaded, 0L, 10, 8, emb).collect().toSeq.map(_.toSeq)
+    assert(viaDisk == brute)
+
+    // the probed scan prunes partitions: a cluster IN (...) filter over
+    // the partitioned layout must not read every directory
+    val probes = Seq(0, 1).map(Integer.valueOf)
+    val pruned = loaded.assign
+      .filter(org.apache.spark.sql.functions.col("cluster").isInCollection(probes))
+    assert(pruned.count() < loaded.assign.count(),
+      "cluster-partitioned artifact must restrict the probed scan")
+    Ivf.clearMemo()
+  }
+
   test("k-means assignment is deterministic across partitionings") {
     val d = sfDirs.head
     val emb = SimOps.embeddings(spark, d)
