@@ -435,6 +435,26 @@ object OracleSql {
         |       CASE WHEN text LIKE 'RIFF%' AND substr(text, 9, 4) = 'WAVE' THEN 'wav'
         |            WHEN text LIKE 'GIF8%' THEN 'gif' ELSE 'txt' END AS fmt,
         |       NULL::INT AS width, NULL::INT AS height, NULL::INT AS sample_rate
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the binary-fixture check: payloads are generated from doc_id with
+    // format cycling doc_id % 5 and every header field plain arithmetic
+    // (MediaOps.fixturePayload), so the oracle states the expected
+    // metadata WITHOUT parsing — Spark must recover identical values by
+    // actually walking the PNG IHDR / JPEG SOFn / RIFF fmt / GIF headers
+    "media_meta_bin" ->
+      """SELECT doc_id,
+        |       (CASE doc_id % 5 WHEN 0 THEN 33 WHEN 1 THEN 47 WHEN 2 THEN 62
+        |             WHEN 3 THEN 14 ELSE 4 + length(CAST(doc_id AS VARCHAR)) END)::BIGINT AS n_bytes,
+        |       (CASE doc_id % 5 WHEN 0 THEN 137 WHEN 1 THEN 255 WHEN 2 THEN 82
+        |             WHEN 3 THEN 71 ELSE 100 END)::INT AS first_byte,
+        |       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav'
+        |            WHEN 3 THEN 'gif' ELSE 'txt' END AS fmt,
+        |       (CASE doc_id % 5 WHEN 0 THEN 16 + doc_id % 317 WHEN 1 THEN 16 + doc_id % 313
+        |             WHEN 3 THEN 1 + doc_id % 640 END)::INT AS width,
+        |       (CASE doc_id % 5 WHEN 0 THEN 8 + doc_id % 211 WHEN 1 THEN 8 + doc_id % 209
+        |             WHEN 3 THEN 1 + doc_id % 480 END)::INT AS height,
+        |       (CASE WHEN doc_id % 5 = 2 THEN 8000 + doc_id % 32000 END)::INT AS sample_rate
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

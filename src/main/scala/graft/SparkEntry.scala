@@ -68,8 +68,13 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.quality(TextOps.documents(s, d))),
     "text_tokcount" -> ((s, d) => TextOps.tokenCounts(TextOps.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(TextOps.documents(s, d))),
-    // — multimodal plumbing (stubbed decode; rows-only check) —
-    "media_meta" -> ((s, d) => MediaOps.mediaMeta(TextOps.documents(s, d)))
+    // — multimodal plumbing: real pure-JVM header parsers over binary
+    //   payloads; media_meta sniffs the documents' text bytes (wav/gif/
+    //   txt branches), media_meta_bin parses generated PNG/JPEG/WAV/GIF
+    //   containers whose header fields the oracle recomputes
+    //   arithmetically from doc_id —
+    "media_meta" -> ((s, d) => MediaOps.mediaMeta(TextOps.documents(s, d))),
+    "media_meta_bin" -> ((s, d) => MediaOps.mediaMetaFixture(TextOps.documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -75,6 +75,35 @@ object BuildPipeline {
   final case class BuildReport(
       ranStages: Seq[String], skippedStages: Seq[String], totalRows: Long)
 
+  /** Build lifecycle record (the reference's per-site INDEXING/INDEXED/
+    * FAILED + last_error + status_time surface,
+    * /root/reference/src/main/java/searchengine/services/StatisticsServiceImpl.java:49-60),
+    * persisted beside the manifest so monitoring can see a dead or
+    * failed build long after the driver JVM is gone. */
+  final case class BuildStatus(
+      status: String, // "running" | "done" | "failed"
+      stage: String, // last stage reached
+      error: String, // "" unless failed
+      statusTimeMs: Long, // wall-clock of the last transition
+      elapsedMs: Long) // run() duration so far / total
+
+  private def statusPath(root: String) = Paths.get(root, "build_status.json")
+
+  private def writeStatus(root: String, s: BuildStatus): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, "build_status.json.tmp")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(s))
+    Files.move(tmp, statusPath(root),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read the persisted build lifecycle record (None = pre-status root). */
+  def readBuildStatus(root: String): Option[BuildStatus] = {
+    val p = statusPath(root)
+    if (!Files.exists(p)) None
+    else Some(mapper.readValue(p.toFile, classOf[BuildStatus]))
+  }
+
   /** Run (or resume) the build into `root`. `failAfter` injects a crash
     * after the named stage commits — the resume-test hook. */
   /** Encode/decode the zone config for manifest params (shared with
@@ -126,8 +155,14 @@ object BuildPipeline {
 
     def table(name: String) = Paths.get(root, name).toString
 
+    val runStart = System.nanoTime()
+    var lastStage = ""
+    def elapsed() = (System.nanoTime() - runStart) / 1000000
+    writeStatus(root, BuildStatus("running", "", "", System.currentTimeMillis(), 0))
+
     /** Run one stage unless its checkpoint is valid. */
     def stage(name: String)(body: => Long): Unit = {
+      lastStage = name
       val ok = manifest.stages.get(name).exists(r =>
         r.fingerprint == fp && r.status == "done" &&
           (IceLite.currentSnapshot(table(name)).isDefined || r.table.isEmpty))
@@ -146,6 +181,7 @@ object BuildPipeline {
     }
 
     var total = 0L
+    try {
     stage("docs_raw") {
       val totalTurns = turns.count()
       val docsRaw = DocIds.assign(spark, turns, partitions)
@@ -196,6 +232,18 @@ object BuildPipeline {
       IceLite.commit(spark, sorted, table("postings")).totalRows
     }
 
+    } catch {
+      case e: Throwable =>
+        // a failed (or stopped) build is VISIBLE: stage + error persist
+        // for the statistics rollup, mirroring the reference's FAILED
+        // site status + last_error
+        writeStatus(root, BuildStatus("failed", lastStage,
+          Option(e.getMessage).getOrElse(e.getClass.getName),
+          System.currentTimeMillis(), elapsed()))
+        throw e
+    }
+    writeStatus(root, BuildStatus("done", lastStage, "",
+      System.currentTimeMillis(), elapsed()))
     total = manifest.stages.get("docs_raw").map(_.rows).getOrElse(0L)
     BuildReport(ran.result(), skipped.result(), total)
   }

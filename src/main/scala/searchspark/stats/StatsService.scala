@@ -2,7 +2,7 @@ package searchspark.stats
 
 import org.apache.spark.sql.functions._
 
-import searchspark.index.BuiltIndex
+import searchspark.index.{BuildPipeline, BuiltIndex}
 
 /** Statistics rollup — port of the reference's `GET /api/statistics`
   * (/root/reference/src/main/java/searchengine/services/StatisticsServiceImpl.java:34-75):
@@ -15,7 +15,13 @@ object StatsService {
   final case class ScopeStats(scope: String, docs: Long, terms: Long, avgdl: Double)
   final case class Statistics(
       totalDocs: Long, totalTerms: Long, skippedBlank: Long,
-      avgdl: Double, scopes: Seq[ScopeStats])
+      avgdl: Double, scopes: Seq[ScopeStats],
+      build: Option[BuildPipeline.BuildStatus] = None) {
+    /** The reference's `total.indexing` flag: true only when the last
+      * build completed cleanly (unknown-status roots count as indexed
+      * for backward compatibility with pre-status builds). */
+    def indexed: Boolean = build.forall(_.status == "done")
+  }
 
   def collect(idx: BuiltIndex): Statistics = {
     val perRoleTerms = idx.termsByRole.groupBy("role")
@@ -27,4 +33,13 @@ object StatsService {
     Statistics(idx.stats.n, idx.terms.count(), idx.stats.skippedBlank,
       idx.stats.avgdl, scopes)
   }
+
+  /** Root-aware rollup: doc/term/avgdl stats PLUS the persisted build
+    * lifecycle (status, last stage, last_error, status_time, elapsed) —
+    * the reference surfaces FAILED sites with their error in the same
+    * statistics response (StatisticsServiceImpl.java:49-60), and a
+    * monitoring user must see a dead build here, not discover it by
+    * querying an empty index. */
+  def collect(idx: BuiltIndex, root: String): Statistics =
+    collect(idx).copy(build = BuildPipeline.readBuildStatus(root))
 }

@@ -29,6 +29,37 @@ class StatsSpec extends AnyFunSuite {
     assert(s.scopes.map(_.docs).sum == s.totalDocs)
   }
 
+  test("failed build is visible in the statistics rollup (status + last_error)") {
+    import spark.implicits._
+    import searchspark.index.BuildPipeline
+    val root = Files.createTempDirectory("idx-status").toString
+    val ds = spark.createDataset(turns)
+    // fault-injected crash after the tf stage: the persisted status must
+    // say so, with the stage and the error, long after this JVM's state
+    // is gone — that is what the reference's FAILED+last_error site row
+    // gives a monitoring user
+    intercept[BuildPipeline.InjectedFailure] {
+      BuildPipeline.run(spark, ds, root, "stats:v1", partitions = 3,
+        failAfter = Some("tf"))
+    }
+    val failed = BuildPipeline.readBuildStatus(root).get
+    assert(failed.status == "failed" && failed.stage == "tf")
+    assert(failed.error.contains("injected failure"))
+    assert(failed.statusTimeMs > 0 && failed.elapsedMs >= 0)
+
+    // resume to completion: status flips to done and the full rollup
+    // carries it (indexed == true only on a clean build)
+    BuildPipeline.run(spark, ds, root, "stats:v1", partitions = 3)
+    val s = StatsService.collect(BuildPipeline.loadRelational(spark, root), root)
+    assert(s.build.exists(_.status == "done") && s.indexed)
+    assert(s.totalDocs > 0)
+
+    // and a rollup over a root mid-crash (failed marker present) reports
+    // not-indexed
+    val failedStats = s.copy(build = Some(failed))
+    assert(!failedStats.indexed)
+  }
+
   test("IceLite: overwrite commits are snapshot-isolated + time travel works") {
     import spark.implicits._
     val t = Files.createTempDirectory("icelite").toString
