@@ -91,7 +91,12 @@ final case class AnalyzerConfig(
       .otherwise(split(cleaned, " "))
   }
 
-  /** B4 as a Column (rule-for-rule identical to [[lemma]]). */
+  /** B4 as a Column (rule-for-rule identical to [[lemma]]). The
+    * exception dictionary is ONE literal-map lookup (`element_at` on a
+    * MapType literal), not a chained CASE: the RU dict carries hundreds
+    * of declension forms, and a per-entry WHEN chain would bloat the
+    * plan and fall out of whole-stage codegen, while a map literal is a
+    * single constant probed per row. */
   def lemmaCol(tok: Column): Column = {
     val n = length(tok)
     val ruled = rules.foldLeft(when(n <= 3, tok)) { (acc, r) =>
@@ -99,9 +104,8 @@ final case class AnalyzerConfig(
       acc.when(tok.endsWith(r.suffix) && n >= r.minLen,
         if (r.append.isEmpty) stripped else concat(stripped, lit(r.append)))
     }.otherwise(tok)
-    exceptions.toSeq.sorted.foldLeft(ruled) { case (acc, (k, v)) =>
-      when(tok === k, lit(v)).otherwise(acc)
-    }
+    if (exceptions.isEmpty) ruled
+    else coalesce(element_at(typedLit(exceptions), tok), ruled)
   }
 
   // --- Form 3: SQL (Spark SQL + DuckDB dialects share these) -----------
@@ -125,6 +129,119 @@ final case class AnalyzerConfig(
   /** B3 filter as a SQL boolean over a token identifier. */
   def notStopSqlPredicate(tok: String): String =
     s"$tok NOT IN (${stopwords.map(s => s"'$s'").mkString(", ")})"
+}
+
+/** Generated Russian declension/conjugation lexicon — the broadcast
+  * stand-in for the reference's Lucene morphology dictionary
+  * (LemmaFinder.java:49-54): every listed form maps to its DICTIONARY
+  * form, giving morphology-grade lemmas for the high-frequency head of
+  * the vocabulary while the suffix rules remain the fallback for the
+  * tail. Forms are generated from paradigm templates (hard-stem
+  * masculine, -а feminine with the velar spelling rule, -о neuter,
+  * -ый adjective, -ать/-ить verbs) over common lexemes, plus explicit
+  * irregulars (suppletive plurals, mobile vowels, irregular verbs,
+  * personal pronouns). A template occasionally mints a form no text
+  * contains (e.g. epenthetic-л verbs); such keys are harmless — they
+  * can never be probed. */
+object RuLexicon {
+
+  private def decl(lemma: String, stem: String, endings: Seq[String]): Seq[(String, String)] =
+    endings.map(e => (stem + e) -> lemma)
+
+  // paradigm ending sets (the lemma's own ending is always included, so
+  // each lexeme also maps its dictionary form to itself)
+  private val MascHard = Seq("", "а", "у", "ом", "е", "ы", "ов", "ам", "ами", "ах")
+  private val MascVel = Seq("", "а", "у", "ом", "е", "и", "ов", "ам", "ами", "ах")
+  private val FemA = Seq("а", "ы", "е", "у", "ой", "ою", "", "ам", "ами", "ах")
+  private val FemAVel = Seq("а", "и", "е", "у", "ой", "ою", "", "ам", "ами", "ах")
+  private val NeutO = Seq("о", "а", "у", "ом", "е", "", "ам", "ами", "ах")
+  private val AdjYj = Seq("ый", "ого", "ому", "ым", "ом", "ая", "ой", "ую",
+    "ое", "ые", "ых", "ыми")
+  private val AdjOj = Seq("ой", "ого", "ому", "им", "ом", "ая", "ую",
+    "ие", "их", "ими")
+  private val VerbAt = Seq("ть", "ю", "ешь", "ет", "ем", "ете", "ют",
+    "л", "ла", "ло", "ли", "й", "йте")
+  private val VerbIt = Seq("ить", "ю", "ишь", "ит", "им", "ите", "ят",
+    "ил", "ила", "ило", "или")
+
+  private def nouns(endings: Seq[String], lemmaEnding: String, stems: String*) =
+    stems.flatMap(st => decl(st + lemmaEnding, st, endings))
+
+  private val regular: Seq[(String, String)] =
+    nouns(MascHard, "", "стол", "вопрос", "город", "результат", "процесс",
+      "проект", "момент", "класс", "текст", "файл", "запрос", "метод",
+      "документ", "элемент", "ответ", "интерес", "вариант", "пример") ++
+    nouns(MascVel, "", "поиск", "язык", "урок", "признак", "блок", "список") ++
+    nouns(FemA, "а", "работ", "систем", "программ", "групп", "форм",
+      "структур", "проблем", "команд", "схем", "основ", "причин") ++
+    nouns(FemAVel, "а", "задач", "строк", "книг", "наук", "оценк", "ошибк") ++
+    nouns(NeutO, "о", "слов", "мест", "дел", "прав", "числ") ++
+    Seq("новый", "первый", "главный", "важный", "полный", "разный",
+      "быстрый", "точный", "нужный", "каждый")
+      .flatMap(l => decl(l, l.dropRight(2), AdjYj)) ++
+    Seq("большой", "простой")
+      .flatMap(l => decl(l, l.dropRight(2), AdjOj)) ++
+    Seq("читать", "делать", "работать", "думать", "знать", "понимать",
+      "получать", "считать", "начинать", "отвечать", "спрашивать",
+      "показывать")
+      .flatMap(l => decl(l, l.dropRight(2), VerbAt)) ++
+    Seq("говорить", "помнить", "значить", "строить")
+      .flatMap(l => decl(l, l.dropRight(3), VerbIt))
+
+  private val irregular: Seq[(String, String)] = Seq(
+    // suppletive plurals
+    "человек" -> "человек", "человека" -> "человек", "человеку" -> "человек",
+    "человеком" -> "человек", "человеке" -> "человек",
+    "люди" -> "человек", "людей" -> "человек", "людям" -> "человек",
+    "людьми" -> "человек", "людях" -> "человек",
+    "ребенок" -> "ребенок", "ребенка" -> "ребенок", "ребенку" -> "ребенок",
+    "ребёнок" -> "ребенок", "ребёнка" -> "ребенок",
+    "дети" -> "ребенок", "детей" -> "ребенок", "детям" -> "ребенок",
+    "детьми" -> "ребенок", "детях" -> "ребенок",
+    // irregular verbs
+    "идти" -> "идти", "иду" -> "идти", "идешь" -> "идти", "идёшь" -> "идти",
+    "идет" -> "идти", "идёт" -> "идти", "идем" -> "идти", "идём" -> "идти",
+    "идете" -> "идти", "идут" -> "идти",
+    "шел" -> "идти", "шёл" -> "идти", "шла" -> "идти", "шли" -> "идти",
+    "шло" -> "идти",
+    "быть" -> "быть", "был" -> "быть", "была" -> "быть", "были" -> "быть",
+    "было" -> "быть", "есть" -> "быть", "будет" -> "быть", "будут" -> "быть",
+    "буду" -> "быть", "будешь" -> "быть", "будем" -> "быть", "будете" -> "быть",
+    "мочь" -> "мочь", "могу" -> "мочь", "можешь" -> "мочь", "может" -> "мочь",
+    "можем" -> "мочь", "можете" -> "мочь", "могут" -> "мочь",
+    "мог" -> "мочь", "могла" -> "мочь", "могли" -> "мочь", "могло" -> "мочь",
+    "хотеть" -> "хотеть", "хочу" -> "хотеть", "хочешь" -> "хотеть",
+    "хочет" -> "хотеть", "хотим" -> "хотеть", "хотите" -> "хотеть",
+    "хотят" -> "хотеть", "хотел" -> "хотеть", "хотела" -> "хотеть",
+    "хотели" -> "хотеть",
+    // mobile vowels / irregular plurals
+    "год" -> "год", "года" -> "год", "году" -> "год", "годом" -> "год",
+    "годы" -> "год", "годов" -> "год", "годам" -> "год", "годами" -> "год",
+    "годах" -> "год", "лет" -> "год",
+    "день" -> "день", "дня" -> "день", "дню" -> "день", "днем" -> "день",
+    "днём" -> "день", "дне" -> "день", "дни" -> "день", "дней" -> "день",
+    "дням" -> "день", "днями" -> "день", "днях" -> "день",
+    "время" -> "время", "времени" -> "время", "временем" -> "время",
+    "времена" -> "время", "времен" -> "время", "времён" -> "время",
+    "временам" -> "время",
+    "путь" -> "путь", "пути" -> "путь", "путем" -> "путь", "путём" -> "путь",
+    "путей" -> "путь", "путям" -> "путь", "путями" -> "путь", "путях" -> "путь",
+    // determiners + personal pronouns (pronouns survive the stop filter)
+    "весь" -> "весь", "вся" -> "весь", "все" -> "весь", "всё" -> "весь",
+    "всего" -> "весь", "всей" -> "весь", "всех" -> "весь", "всем" -> "весь",
+    "всеми" -> "весь", "всю" -> "весь",
+    "этот" -> "этот", "эта" -> "этот", "это" -> "этот", "этого" -> "этот",
+    "этому" -> "этот", "этим" -> "этот", "этой" -> "этот", "эту" -> "этот",
+    "эти" -> "этот", "этих" -> "этот", "этими" -> "этот",
+    "меня" -> "я", "мне" -> "я", "мной" -> "я",
+    "тебя" -> "ты", "тебе" -> "ты", "тобой" -> "ты",
+    "его" -> "он", "ему" -> "он", "ним" -> "он", "нем" -> "он", "нём" -> "он",
+    "ее" -> "она", "её" -> "она", "ней" -> "она",
+    "них" -> "они", "ими" -> "они", "нами" -> "мы", "нас" -> "мы",
+    "вас" -> "вы", "вами" -> "вы")
+
+  /** form → dictionary form; regular paradigms first, irregulars win. */
+  val exceptions: Map[String, String] = (regular ++ irregular).toMap
 }
 
 /** The shipped analyzer configurations. */
@@ -159,11 +276,14 @@ object Analyzers {
     * (LemmaFinder.java:40), stopwords = curated particles/prepositions/
     * conjunctions/interjections (the МЕЖД/ПРЕДЛ/СОЮЗ/ЧАСТ classes,
     * LemmaFinder.java:13 — pronouns deliberately survive, hence "я"),
-    * an exception dictionary for irregular forms (the broadcast stand-in
-    * for the Lucene morphology lexicon) and crude declension/conjugation
-    * suffix strips. Quality is knowingly below a real morphology jar
-    * (unavailable offline, SURVEY.md §7.0) — the point is that the
-    * CONFIG switches the whole pipeline, all three forms included. */
+    * the generated [[RuLexicon]] dictionary (several hundred
+    * high-frequency declension/conjugation forms → dictionary form, the
+    * broadcast stand-in for the Lucene morphology lexicon) and crude
+    * declension/conjugation suffix strips for the vocabulary tail.
+    * Tail quality is knowingly below a real morphology jar (unavailable
+    * offline, SURVEY.md §7.0); AnalyzerSpec asserts a measured accuracy
+    * floor on a HELD-OUT golden set so the gap is quantified, not
+    * hand-waved. */
   val Ru: AnalyzerConfig = AnalyzerConfig(
     name = "ru",
     alphabet = "а-яё",
@@ -174,14 +294,15 @@ object Analyzers {
       "на", "над", "не", "ни", "но", "о", "об", "от", "ох", "перед",
       "по", "под", "при", "про", "с", "со", "то", "у", "уж", "хоть",
       "чтобы", "эх"),
-    exceptions = Map(
-      "люди" -> "человек", "людям" -> "человек", "людьми" -> "человек",
-      "дети" -> "ребенок", "детям" -> "ребенок", "детьми" -> "ребенок",
-      "шёл" -> "идти", "шла" -> "идти", "шли" -> "идти"),
+    exceptions = RuLexicon.exceptions,
     // pure strips (no re-append): every inflection of a word must land
     // on the SAME stem — that collision is what df/conjunctive scoring
     // needs; dictionary-form fidelity is the exception dict's job
     rules = Seq(
+      // reflexive-verb endings first: only verbs end in -ся/-сь forms,
+      // so these strips can never damage a noun
+      LemmaRule("ется", 6, 4, ""), LemmaRule("ются", 6, 4, ""),
+      LemmaRule("ится", 6, 4, ""), LemmaRule("ться", 6, 4, ""),
       LemmaRule("иями", 6, 4, ""), LemmaRule("иях", 5, 3, ""),
       LemmaRule("ами", 5, 3, ""), LemmaRule("ями", 5, 3, ""),
       LemmaRule("ого", 5, 3, ""), LemmaRule("его", 5, 3, ""),

@@ -72,13 +72,67 @@ class AnalyzerSpec extends AnyFunSuite {
     // B4: exception dict wins over rules (first-normal-form analog)
     assert(ru.lemma("люди") == "человек")
     assert(ru.lemma("шёл") == "идти")
-    // B4: suffix strips collapse inflections onto one stem
+    // B4: lexicon-covered inflections land on the DICTIONARY form
     assert(ru.lemma("столы") == "стол" && ru.lemma("столами") == "стол"
       && ru.lemma("столах") == "стол" && ru.lemma("стола") == "стол")
-    assert(ru.lemma("книги") == ru.lemma("книга"))
+    assert(ru.lemma("книги") == "книга" && ru.lemma("книга") == "книга")
+    assert(ru.lemma("читаю") == "читать" && ru.lemma("читает") == "читать"
+      && ru.lemma("читали") == "читать")
     // full pipeline: "я" survives, stopwords out, lemmas applied
     assert(ru.analyze("Я читаю книги и книга на столах").toSeq ==
-      Seq("я", "чита", "книг", "книг", "стол"))
+      Seq("я", "читать", "книга", "книга", "стол"))
+  }
+
+  test("RU lemmatizer accuracy floor on a held-out golden set") {
+    val ru = searchspark.analyze.Analyzers.Ru
+    // NONE of these lexemes are in RuLexicon — this measures the suffix
+    // rules' tail quality (the reference's morphology jar would be ~1.0;
+    // the floor quantifies the honest gap instead of hand-waving it).
+    // Metric: a (form, lexeme) pair is correct when the form maps to its
+    // lexeme's majority stem.
+    val golden: Seq[(String, Seq[String])] = Seq(
+      "завод" -> Seq("завод", "завода", "заводу", "заводом", "заводе",
+        "заводы", "заводов", "заводам", "заводами", "заводах"),
+      "машина" -> Seq("машина", "машины", "машине", "машину", "машиной",
+        "машинам", "машинами", "машинах"),
+      "дорога" -> Seq("дорога", "дороги", "дороге", "дорогу", "дорогой",
+        "дорогам", "дорогами", "дорогах"),
+      "гора" -> Seq("гора", "горы", "горе", "гору", "горой",
+        "горам", "горами", "горах"),
+      "окно" -> Seq("окно", "окна", "окну", "окном", "окне",
+        "окнам", "окнами", "окнах"),
+      "театр" -> Seq("театр", "театра", "театру", "театром", "театре",
+        "театры", "театров", "театрам", "театрах"),
+      "мост" -> Seq("мост", "моста", "мосту", "мостом", "мосте",
+        "мосты", "мостов", "мостам", "мостах"),
+      "лампа" -> Seq("лампа", "лампы", "лампе", "лампу", "лампой",
+        "лампам", "лампами", "лампах"),
+      "старый" -> Seq("старый", "старого", "старому", "старым", "старом",
+        "старая", "старую", "старые", "старых", "старыми"),
+      "умный" -> Seq("умный", "умного", "умному", "умным", "умном",
+        "умная", "умную", "умные", "умных", "умными"),
+      "играть" -> Seq("играть", "играю", "играет", "играют", "играл",
+        "играла", "играли", "играется"),
+      "гулять" -> Seq("гулять", "гуляет", "гуляют", "гулял",
+        "гуляла", "гуляли"))
+    golden.foreach { case (lex, forms) =>
+      assert(!ru.exceptions.contains(lex) && forms.forall(f => !ru.exceptions.contains(f)),
+        s"golden lexeme $lex leaked into the lexicon — the set must stay held-out")
+    }
+    val perLexeme = golden.map { case (lex, forms) =>
+      val stems = forms.map(ru.lemma)
+      val majority = stems.groupBy(identity).maxBy(g => (g._2.length, g._1))._1
+      (lex, majority, stems.count(_ == majority), forms.length)
+    }
+    val correct = perLexeme.map(_._3).sum
+    val totalForms = perLexeme.map(_._4).sum
+    val acc = correct.toDouble / totalForms
+    info(f"held-out form-level stem consistency: $correct/$totalForms = $acc%.3f")
+    assert(acc >= 0.80, f"RU tail accuracy regressed: $acc%.3f < 0.80")
+    // purity: no two held-out lexemes may collapse onto one stem
+    val reps = perLexeme.map(_._2)
+    assert(reps.distinct.size == reps.size,
+      s"distinct lexemes collided on stems: ${reps.mkString(", ")}")
   }
 
   test("RU Catalyst column pipeline == pure Scala pipeline") {
