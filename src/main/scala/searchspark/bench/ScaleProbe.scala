@@ -18,8 +18,8 @@ object ScaleProbe {
   }
   def main(args: Array[String]): Unit = {
     val a = run(2); val b = run(8)
-    println(f"probe md5-cpu: 8c=$a%.2f s 32c=$b%.2f s speedup=${a/b}%.2f eff=${a/b/4}%.3f")
+    println(f"probe md5-cpu: 2c=$a%.2f s 8c=$b%.2f s speedup=${a/b}%.2f eff=${a/b/4}%.3f")
     val c = run(2); val d = run(8)
-    println(f"probe repeat:  8c=$c%.2f s 32c=$d%.2f s speedup=${c/d}%.2f eff=${c/d/4}%.3f")
+    println(f"probe repeat:  2c=$c%.2f s 8c=$d%.2f s speedup=${c/d}%.2f eff=${c/d/4}%.3f")
   }
 }

@@ -21,6 +21,10 @@ import searchspark.model.Turn
   *    among themselves — matching the reference's AUTO_INCREMENT
   *    semantics for new pages; documented deviation from the cold
   *    build's global-rank ids, invisible to scoring);
+  *  - a delta row that BLANKS an existing key's text RETRACTS that doc
+  *    (removed from docs_raw/tf, its shard rebuilt without it) — the
+  *    failed-refetch delete analog; blanks for unknown keys stay
+  *    ignored. Counted in [[Report.retracted]];
   *  - ONLY the doc-range shards containing touched docs have their
   *    posting segments rebuilt; every other shard's compressed segments
   *    are reused as-is and merged by union — this is the external
@@ -40,7 +44,7 @@ import searchspark.model.Turn
 object Incremental {
 
   final case class Report(replaced: Long, added: Long, shardsRebuilt: Long,
-                          shardsReused: Long)
+                          shardsReused: Long, retracted: Long = 0L)
 
   def append(spark: SparkSession, root: String, newTurns: Dataset[Turn],
              partitions: Int, shardSize: Int = 0): Report = {
@@ -72,6 +76,20 @@ object Incremental {
     val replaced = newDf.join(oldKeys, Seq("conv_id", "turn_idx"))
       .select(col("docId"), col("conv_id"), col("turn_idx"), col("role"),
         col("tool"), col("ts"), col("text"))
+    // retracted: a delta row that blanks an EXISTING key's text is a
+    // DELETE — the failed-refetch analog (the reference drops a page
+    // whose re-crawl errors, IndexingServiceImpl.java:137-141), and the
+    // only way to retract content through the incremental/streaming
+    // path. Without this, dedupIndexable silently dropped the blank row
+    // and the stale document stayed indexed forever (round-2 ADVICE). A
+    // key with BOTH a blank and a non-blank row in one batch is a
+    // replace, not a delete (dedup keeps the non-blank payload).
+    val retracted = newTurns.toDF()
+      .filter(col("text").isNull || trim(col("text")) === "")
+      .select("conv_id", "turn_idx").distinct()
+      .join(newDf.select("conv_id", "turn_idx"), Seq("conv_id", "turn_idx"), "left_anti")
+      .join(oldKeys, Seq("conv_id", "turn_idx"))
+      .select("docId")
     // fresh: rank among themselves, appended after the current max id
     val maxId = docsRawOld.agg(max("docId")).head.getLong(0)
     val freshTurns = indexable.join(oldKeys.select("conv_id", "turn_idx"),
@@ -81,7 +99,11 @@ object Incremental {
 
     val nReplaced = replaced.count()
     val nAdded = fresh.count()
-    val touched = replaced.select("docId").union(fresh.select("docId")).cache()
+    val nRetracted = retracted.count()
+    // retracted docs join the touched set: they vanish from docs_raw/tf
+    // below (left_anti) without being re-added, and their shards rebuild
+    val touched = replaced.select("docId").union(fresh.select("docId"))
+      .union(retracted).cache()
 
     val oldTotalTurns = IceLite.currentSnapshot(table("docs_raw"))
       .flatMap(_.props.get("totalTurns")).map(_.toLong).getOrElse(0L)
@@ -126,7 +148,7 @@ object Incremental {
     IceLite.commit(spark, kept.unionByName(rebuilt), table("postings"))
 
     touched.unpersist(); touchedShards.unpersist()
-    Report(nReplaced, nAdded, nRebuilt, nKept)
+    Report(nReplaced, nAdded, nRebuilt, nKept, nRetracted)
   }
 
   private def writeStats(spark: SparkSession, root: String, docsRaw: DataFrame,

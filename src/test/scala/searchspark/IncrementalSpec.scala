@@ -62,6 +62,50 @@ class IncrementalSpec extends AnyFunSuite {
       h.conv_id == edited.conv_id && h.turn_idx == edited.turn_idx))
   }
 
+  test("blanking an existing key retracts the doc (delete-through-append)") {
+    val root = Files.createTempDirectory("idx-retract").toString
+    val base = TranscriptGen.localCorpus(42L, 20)
+    BuildPipeline.run(spark, ds(base), root, "gen:42:20", partitions = 4, shardSize = 256)
+    val victim = base.head
+    val preIdx = BuildPipeline.loadRelational(spark, root)
+    val preN = preIdx.stats.n
+    val victimId = preIdx.docs
+      .filter(org.apache.spark.sql.functions.col("conv_id") === victim.conv_id &&
+        org.apache.spark.sql.functions.col("turn_idx") === victim.turn_idx)
+      .select("docId").head.getLong(0)
+
+    // the delta: blank the victim, plus a blank for an UNKNOWN key
+    // (must stay ignored), plus one genuinely new conversation
+    val delta = Seq(
+      victim.copy(text = "   "),
+      victim.copy(conv_id = "ghost-conv", text = null)) ++
+      TranscriptGen.conversation(42L, 700L)
+    val rep = Incremental.append(spark, root, ds(delta), partitions = 4)
+    assert(rep.retracted == 1, s"exactly the victim retracts: $rep")
+    assert(rep.replaced == 0)
+
+    // gone from docs_raw, tf, and the rebuilt segments
+    val idx = BuildPipeline.loadRelational(spark, root)
+    assert(idx.docs.filter(org.apache.spark.sql.functions.col("docId") === victimId).count() == 0)
+    assert(idx.tf.filter(org.apache.spark.sql.functions.col("docId") === victimId).count() == 0)
+    assert(idx.stats.n == preN + rep.added - 1)
+    val postings = BuildPipeline.loadPostings(spark, root)
+    val decodedIds = postings.collect().flatMap(tp => Segments.decodeAll(tp.blocks)._1).toSet
+    assert(!decodedIds.contains(victimId), "retracted doc must leave the segments")
+
+    // and the result equals a cold build over the surviving turns —
+    // compared by (key, score, count), NOT docId: retraction correctly
+    // PRESERVES surviving ids while a cold build re-ranks them densely
+    // (the id renumbering is monotone, so ordering/ties are unaffected)
+    val survivors = base.tail ++ TranscriptGen.conversation(42L, 700L)
+    val oracle = new searchspark.oracle.ScalarOracle(survivors)
+    val engine = Wand.search(spark, idx, postings, "w0001 w0002")
+    val expect = oracle.search("w0001 w0002", None)
+    assert(engine.ok && expect.ok && engine.count == expect.count)
+    assert(engine.hits.map(h => (h.conv_id, h.turn_idx, h.score)) ==
+      expect.hits.map(h => (h.conv_id, h.turn_idx, h.score)))
+  }
+
   test("append introducing a role that sorts FIRST keeps scoped search correct") {
     val root = Files.createTempDirectory("idx-role").toString
     val base = TranscriptGen.localCorpus(42L, 20)
