@@ -31,4 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Faithful N-core-cluster simulation for the scaling study: without
+  // this, a local[N] JVM still sees every HOST cpu, so GC/JIT/netty
+  // pools run ~32-wide and the low-parallelism level silently borrows
+  // idle host cores — inflating its throughput and depressing measured
+  // scaling efficiency. Pinning ActiveProcessorCount sizes all JVM
+  // internal pools to the simulated cluster's core count, like a real
+  // N-core executor would have.
+  sys.env.get("SPARK_GRAFT_PROC_COUNT").map(n => s"-XX:ActiveProcessorCount=$n").toSeq

@@ -25,7 +25,8 @@ object BuildBench {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"buildbench-$cores")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions",
+        cores * sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "1").toInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

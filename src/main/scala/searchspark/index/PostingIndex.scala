@@ -5,12 +5,18 @@ import org.apache.spark.sql.functions._
 
 import searchspark.model.TermPostings
 
-/** Row shape feeding the segment encoder. `role` rides along solely so
-  * a dictionary miss (roleId == -1) can name the offending role in its
-  * error instead of silently mis-encoding (round-2 ADVICE, high). */
-final case class PostingRowFlat(
-    shard: Int, termId: Long, term: String, df: Long,
-    docId: Long, tfE1: Int, dlE1: Long, roleId: Int, role: String)
+/** Row shape feeding the segment encoder: FIXED-WIDTH numerics only.
+  * The groupByKey exchange moves one of these per posting, so row width
+  * is the segment build's dominant shuffle cost — the term string and
+  * df are needed only once per (shard, termId) group and are attached
+  * by a dictionary join on the ~|groups|-row output instead of riding
+  * on every posting (one extra 8-byte UnsafeRow slot alone measured
+  * ~14% on the whole posting build; the term string is bigger). */
+final case class PostingRowSlim(
+    shard: Int, termId: Long, docId: Long, tfE1: Int, dlE1: Long, roleId: Int)
+
+/** Encoded segment group before the dictionary attach. */
+final case class SegGroup(shard: Int, termId: Long, blocks: Array[searchspark.model.PostingBlock])
 
 /** The compressed, sharded posting-list index (SURVEY.md §3.2 build
   * dataflow): shard = docId range (docId / shardSize), so
@@ -40,37 +46,57 @@ object PostingIndex {
   def build(spark: SparkSession, idx: BuiltIndex,
             shardSize: Int = DefaultShardSize): Dataset[TermPostings] = {
     import spark.implicits._
+    // role-dictionary guard (round-2 ADVICE, high): a role present in
+    // the corpus but absent from the dictionary must fail the build
+    // LOUDLY, never encode under a foreign roleId (scoped queries would
+    // silently return foreign docs). statsByRole's keys are derived
+    // from the same tf table (corpusStats at build; role.* entries of
+    // stats.json on load), so this driver-side set difference is a free,
+    // pre-shuffle check that names every offending role.
+    val missing = idx.statsByRole.keySet -- idx.roleIds.keySet
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"roles ${missing.toSeq.sorted.map(r => s"'$r'").mkString(", ")} are " +
+          "absent from the role dictionary — stats.json roles and the tf " +
+          "table disagree; refusing to encode them under foreign roleIds")
     // role → compact id as a literal CASE (roles are low-cardinality;
     // avoids a join); blocks carry per-posting roleIds for scoped scans.
-    // Base case is the -1 SENTINEL, not id 0: a role absent from the
-    // dictionary must fail the build loudly below, not silently encode
-    // under the first real role (scoped queries would return foreign
-    // docs — round-2 ADVICE, high)
+    // Base case is the -1 SENTINEL, not id 0: unreachable after the
+    // guard above, but if the stats themselves are inconsistent with tf
+    // the encoder below still fails closed instead of mis-encoding.
     val roleIdCol = idx.roleIds.toSeq.sortBy(_._1).foldLeft(lit(-1)) {
       case (acc, (r, id)) => when(col("role") === r, lit(id)).otherwise(acc)
     }
     val rows = idx.tf // carries role+dlE1 — no docs join needed
-      .join(idx.terms.select(col("term"), col("termId"), col("df")), Seq("term"))
+      .join(idx.terms.select(col("term"), col("termId")), Seq("term"))
       .select(
         (col("docId") / shardSize).cast("int").as("shard"),
-        col("termId"), col("term"), col("df"),
+        col("termId"),
         col("docId"), col("tfE1").cast("int").as("tfE1"), col("dlE1"),
-        roleIdCol.as("roleId"), col("role"))
-      .as[PostingRowFlat]
-    rows.groupByKey(r => (r.shard, r.termId))
-      .mapGroups { (key: (Int, Long), it: Iterator[PostingRowFlat]) =>
+        roleIdCol.as("roleId"))
+      .as[PostingRowSlim]
+    val groups = rows.groupByKey(r => (r.shard, r.termId))
+      .mapGroups { (key: (Int, Long), it: Iterator[PostingRowSlim]) =>
         val (shard, termId) = key
         val buf = it.toArray
         buf.find(_.roleId < 0).foreach { bad =>
           throw new IllegalStateException(
-            s"role '${bad.role}' (doc ${bad.docId}, shard $shard) is absent " +
-              "from the role dictionary — stats.json roles and the tf table " +
-              "disagree; refusing to encode it under a foreign roleId")
+            s"doc ${bad.docId} (shard $shard) carries a role absent from the " +
+              "role dictionary — tf and stats disagree; refusing to encode " +
+              "it under a foreign roleId")
         }
-        java.util.Arrays.sort(buf, Ordering.by((r: PostingRowFlat) => r.docId))
+        java.util.Arrays.sort(buf,
+          ((a: PostingRowSlim, b: PostingRowSlim) =>
+            java.lang.Long.compare(a.docId, b.docId)): java.util.Comparator[PostingRowSlim])
         val blocks = Segments.encode(
           buf.map(_.docId), buf.map(_.tfE1), buf.map(_.dlE1), buf.map(_.roleId))
-        TermPostings(shard, termId, buf.head.term, buf.head.df, blocks)
+        SegGroup(shard, termId, blocks)
       }
+    // dictionary attach on the GROUP rows (|shards|·|terms-per-shard|,
+    // orders of magnitude fewer than postings)
+    groups.toDF()
+      .join(idx.terms.select(col("termId"), col("term"), col("df")), Seq("termId"))
+      .select(col("shard"), col("termId"), col("term"), col("df"), col("blocks"))
+      .as[TermPostings]
   }
 }

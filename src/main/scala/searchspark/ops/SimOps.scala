@@ -192,12 +192,15 @@ object SimOps {
     val spark = pairs.sparkSession
     val edgeRows = pairs.select(col("a").cast("long"), col("b").cast("long"))
     import spark.implicits._
-    // size probe FIRST (count of a limited scan — no row fetch), so the
-    // over-threshold case never pays a threshold-sized driver transfer
-    // before taking the distributed path anyway
+    // size probe FIRST (count of a limited, CACHED scan — no row fetch),
+    // so the over-threshold case never pays a threshold-sized driver
+    // transfer before taking the distributed path; the cache keeps the
+    // pair-generation upstream (LSH banding etc.) from running twice
+    // for the count and the collect
     val bounded = edgeRows.limit(
-      math.min(smallGraphMax, Int.MaxValue - 1L).toInt + 1)
+      math.min(smallGraphMax, Int.MaxValue - 1L).toInt + 1).cache()
     val n = bounded.count()
+    try {
     if (n <= smallGraphMax) {
       val es = bounded.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -216,6 +219,7 @@ object SimOps {
       val out = parent.keys.toSeq.sorted.map(id => (id, find(id)))
       spark.createDataset(out).toDF("doc_id", "cluster_rep").orderBy("doc_id")
     } else dedupClustersDistributed(edgeRows.toDF("a", "b"))
+    } finally bounded.unpersist()
   }
 
   /** The distributed fixpoint path (exposed for tests): min-label

@@ -14,7 +14,11 @@ cd "$(dirname "$0")/.."
 ROUNDS=${4:-2}
 
 run() {
-  SPARK_DRIVER_MEM=24g sbt -batch "runMain searchspark.bench.BuildBench $CONVS $1" 2>/dev/null \
+  # ActiveProcessorCount=N: a local[N] level must behave like an N-core
+  # cluster — without it the JVM's GC/JIT/netty pools size to the HOST's
+  # 32 cpus and the low level borrows idle cores (see build.sbt)
+  SPARK_DRIVER_MEM=24g SPARK_GRAFT_PROC_COUNT="$1" \
+    sbt -batch "runMain searchspark.bench.BuildBench $CONVS $1" 2>/dev/null \
     | grep -o '{"bench":"build-once".*}' | tail -1
 }
 
