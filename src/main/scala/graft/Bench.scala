@@ -24,7 +24,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // 1) driver-contract operator queries on the testdata tables
+    // 1) driver-contract operator queries on the testdata tables.
+    // Warm the session once OUTSIDE the per-query timers: the first
+    // parquet scan and the first shuffle pay one-time costs (footer
+    // reads, codegen/exchange infrastructure, JIT of the scan path)
+    // that otherwise land entirely on the alphabetically-first query —
+    // a5_dedup_exact billed 4–5.4 s across rounds for an operator that
+    // is ~0.5 s steady-state
+    searchspark.ops.TextOps.documents(spark, sfDir)
+      .groupBy("source").count().count()
+    spark.read.parquet(s"$sfDir/embeddings.parquet").limit(16).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
