@@ -44,19 +44,29 @@ object SimOps {
     * each), with estimated similarity = matching-minhash fraction.
     * The band bucket join is the scale path: shuffle on (band, key),
     * never all-pairs. */
-  def minhashLsh(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs).cache()
+  /** Band-bucket candidate pairs from a (cached) signature table:
+    * shuffle on (band, key), never all-pairs. Shared by minhashLsh and
+    * minhashCandidatePairs so both cache `sig` exactly once — the band
+    * self-join's two branches don't get an AQE ReusedExchange (the
+    * collect_list band-key agg defeats stage dedup), so an uncached sig
+    * would run the whole shingle+hash pipeline twice. */
+  private def bandCandidates(sig: DataFrame): DataFrame = {
     val bands = sig
       .withColumn("band", (col("i") / RowsPerBand).cast("int"))
       .groupBy("doc_id", "band")
       .agg(array_sort(collect_list(struct(col("i"), col("minh")))).as("rows"))
       .select(col("doc_id"), col("band"),
         array_join(expr("transform(rows, r -> cast(r.minh as string))"), "-").as("key"))
-    val cand = bands.select(col("doc_id").as("a"), col("band"), col("key"))
+    bands.select(col("doc_id").as("a"), col("band"), col("key"))
       .join(bands.select(col("doc_id").as("b"), col("band"), col("key")),
         Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
+  }
+
+  def minhashLsh(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs).cache()
+    val cand = bandCandidates(sig)
     // candidates FIRST, then widen by the 12 signature rows — |cand|·12
     // rows, never the sig×sig-on-i cross product
     val est = cand
@@ -153,21 +163,11 @@ object SimOps {
 
   /** Candidate pairs only (band-bucket join, no similarity estimate) —
     * the input a clustering pass needs; skips minhashLsh's
-    * signature-widening joins. */
-  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs)
-    val bands = sig
-      .withColumn("band", (col("i") / RowsPerBand).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(array_sort(collect_list(struct(col("i"), col("minh")))).as("rows"))
-      .select(col("doc_id"), col("band"),
-        array_join(expr("transform(rows, r -> cast(r.minh as string))"), "-").as("key"))
-    bands.select(col("doc_id").as("a"), col("band"), col("key"))
-      .join(bands.select(col("doc_id").as("b"), col("band"), col("key")),
-        Seq("band", "key"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-  }
+    * signature-widening joins. Like minhashLsh, caches the signature
+    * table for the session (long-lived services should
+    * `spark.catalog.clearCache()` between corpora). */
+  def minhashCandidatePairs(docs: DataFrame): DataFrame =
+    bandCandidates(minhashSignatures(docs).cache())
 
   /** Edge count below which components are solved driver-side. The pair
     * graph after LSH candidate generation is tiny relative to the
@@ -192,17 +192,19 @@ object SimOps {
     val spark = pairs.sparkSession
     val edgeRows = pairs.select(col("a").cast("long"), col("b").cast("long"))
     import spark.implicits._
-    // size probe FIRST (count of a limited, CACHED scan — no row fetch),
-    // so the over-threshold case never pays a threshold-sized driver
-    // transfer before taking the distributed path; the cache keeps the
-    // pair-generation upstream (LSH banding etc.) from running twice
-    // for the count and the collect
-    val bounded = edgeRows.limit(
-      math.min(smallGraphMax, Int.MaxValue - 1L).toInt + 1).cache()
-    val n = bounded.count()
+    // size probe FIRST (a parallel count of the CACHED edge set — no row
+    // fetch), so the over-threshold case never pays a threshold-sized
+    // driver transfer before taking the distributed path; the cache keeps
+    // the pair-generation upstream (LSH banding etc.) from running twice
+    // for the count and the collect-or-fixpoint. NOT limit(max+1): a
+    // GlobalLimit funnels the whole edge stream through one partition
+    // just to probe the size (measured ~1 s at sf0.1), and the distributed
+    // path rereads the cache every pass anyway (spills past memory).
+    val edges = edgeRows.cache()
+    val n = edges.count()
     try {
     if (n <= smallGraphMax) {
-      val es = bounded.as[(Long, Long)].collect()
+      val es = edges.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -218,8 +220,8 @@ object SimOps {
       }
       val out = parent.keys.toSeq.sorted.map(id => (id, find(id)))
       spark.createDataset(out).toDF("doc_id", "cluster_rep").orderBy("doc_id")
-    } else dedupClustersDistributed(edgeRows.toDF("a", "b"))
-    } finally bounded.unpersist()
+    } else dedupClustersDistributed(edges.toDF("a", "b"))
+    } finally edges.unpersist()
   }
 
   /** The distributed fixpoint path (exposed for tests): min-label
