@@ -464,6 +464,7 @@ object SimOps {
       .withColumn("norm", sqrt(expr(
         "aggregate(transform(emb_d, x -> x * x), cast(0.0 as double), (a, x) -> a + x)")))
       .select(col("vec_id").cast("long").as("vec_id"), col("emb_d"), col("norm"))
+      .cache() // joined back on both pair sides — one embedding-transform pass, not two
     // hyperplanes as ONE broadcast primitive matrix consumed in a typed
     // mapPartitions kernel — round 2 baked planes×dim literal arrays
     // into the Catalyst plan and evaluated them through interpreted
@@ -500,6 +501,10 @@ object SimOps {
         }
       }
       .toDF("vec_id", "band", "key")
+      // self-joined below; typed mapPartitions subtrees get no AQE stage
+      // reuse, so an uncached signature table would run the planes×dim
+      // kernel twice over every vector — the dominant cost at scale
+      .cache()
     val cand = bandLong.select(col("vec_id").as("a"), col("band"), col("key"))
       .join(bandLong.select(col("vec_id").as("b"), col("band"), col("key")),
         Seq("band", "key"))

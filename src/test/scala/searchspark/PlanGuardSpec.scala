@@ -45,6 +45,21 @@ class PlanGuardSpec extends AnyFunSuite {
       s"no shuffle/cartesian join on the query path:\n$p")
   }
 
+  test("ngramJaccard final plan: shingle pipeline materialized once (ReusedExchange)") {
+    // The window-count form keeps one canonical shingle subtree, so AQE
+    // must plan the self-join's second branch as a ReusedExchange instead
+    // of re-running tokenize/explode/distinct. Reuse only resolves in the
+    // FINAL adaptive plan, so execute via the df's own QueryExecution
+    // (collect, not count — count builds a separate one).
+    val q = TextOps.ngramJaccard(TextOps.documents(spark, sfDir))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"self-join branches must dedupe at runtime:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "candidate generation must stay an equi-join")
+  }
+
   test("persisted postings scan: query-term filter pushed to parquet") {
     import spark.implicits._
     val root = Files.createTempDirectory("planguard").toString
