@@ -10,17 +10,14 @@ object PlanPeek {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = searchspark.ops.TextOps.documents(spark, "/root/testdata/sf0.1")
-    val q = searchspark.ops.TextOps.ngramJaccard(docs)
-    Seq(1, 2, 3).foreach { i =>
-      val t0 = System.nanoTime(); val n = q.collect().length
-      println(f"run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s  rows=$n")
-    }
-    val plan = q.queryExecution.executedPlan.toString
+    val turns = searchspark.gen.TranscriptGen.corpus(spark, 42L, 200L, 8)
+    val assigned = searchspark.index.DocIds.assign(spark, turns, 8)
+    assigned.collect()
+    val plan = assigned.queryExecution.executedPlan.toString
     println(plan)
-    println("Exchange nodes: " + "Exchange hashpartitioning".r.findAllIn(plan).length)
-    println("Generate(explode) nodes: " + "Generate explode".r.findAllIn(plan).length)
-    println("Scan parquet nodes: " + "Scan parquet".r.findAllIn(plan).length)
+    println("Exchange nodes: " + "Exchange ".r.findAllIn(plan).length)
+    println("Sort nodes: " + "Sort \\[".r.findAllIn(plan).length)
+    println("Window nodes: " + "Window ".r.findAllIn(plan).length)
     spark.stop()
   }
 }

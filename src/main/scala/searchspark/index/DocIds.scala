@@ -60,11 +60,39 @@ object DocIds {
   }
 
   /** Assign ids over the indexable (non-blank, key-deduped) subset of
-    * `turns`. Fully columnar (ZipIndex) — no encoder round trip. */
+    * `turns`. Fully columnar (ZipIndex) — no encoder round trip.
+    *
+    * The key-dedup is fused into ZipIndex's range shuffle: one
+    * repartitionByRange on (conv_id, turn_idx) clusters equal keys, a
+    * within-partition sort on (key, tuple DESC) satisfies the dedup
+    * window's requirements exchange- and sort-free, and row_number()=1
+    * keeps the max tuple — the same max-(ts, role, tool, text) pick as
+    * [[dedupIndexable]] (same interpreted struct ordering), asserted
+    * equal in DocIdsSpec. The unfused form shuffled the full text
+    * column TWICE (hash for groupBy-max, then range for the rank);
+    * texts dominate shuffle bytes at corpus scale, so halving text
+    * shuffles is the difference between one wide exchange and two.
+    * Trade: the groupBy form's map-side partial max reduced shuffle
+    * bytes when a key had many duplicates — near-duplicate-free inputs
+    * (the normal transcripts case; deltas go through dedupIndexable)
+    * ship the same bytes either way. */
   def assign(spark: SparkSession, turns: Dataset[Turn], partitions: Int): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    ZipIndex.withRank(dedupIndexable(turns.toDF()), Seq(col("conv_id"), col("turn_idx")),
-        partitions, "docId")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sortedDedup = turns.toDF()
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .select(col("conv_id"), col("turn_idx"),
+        struct(col("ts"), col("role"), col("tool"), col("text")).as("__v"))
+      .repartitionByRange(partitions, col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"), col("__v").desc)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("conv_id", "turn_idx").orderBy(col("__v").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("conv_id"), col("turn_idx"),
+        coalesce(col("__v.role"), lit("")).as("role"),
+        col("__v.tool").as("tool"), col("__v.ts").as("ts"),
+        col("__v.text").as("text"))
+    ZipIndex.rankOverSorted(sortedDedup, "docId")
       .select("docId", "conv_id", "turn_idx", "role", "tool", "ts", "text")
   }
 }

@@ -29,9 +29,21 @@ object ZipIndex {
     * The sorted intermediate stays cached for the session (callers
     * doing repeated timed runs should clear the cache between runs). */
   def withRank(df: DataFrame, sortCols: Seq[Column], partitions: Int,
-               name: String): DataFrame = {
-    val sorted = df.repartitionByRange(partitions, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
+               name: String): DataFrame =
+    rankOverSorted(
+      df.repartitionByRange(partitions, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*),
+      name)
+
+  /** The rank-assignment half of [[withRank]] for callers that already
+    * hold a range-partitioned, within-partition-sorted DataFrame (e.g.
+    * DocIds fuses its key-dedup into the same range shuffle). The
+    * contract is exactly withRank's post-shuffle state: equal sort keys
+    * in one partition, partitions ordered by key range, rows sorted
+    * within each partition — rank = prefix-sum(partition counts) +
+    * in-partition index is the global rank under that contract. */
+  def rankOverSorted(presorted: DataFrame, name: String): DataFrame = {
+    val sorted = presorted
       .withColumn("__pid", spark_partition_id())
       .cache()
     val counts = sorted.groupBy("__pid").count().collect()
@@ -40,7 +52,7 @@ object ZipIndex {
     val offsets = Seq.newBuilder[(Int, Long)]
     var acc = 0L
     (0 to maxPid).foreach { p => offsets += ((p, acc)); acc += counts.getOrElse(p, 0L) }
-    val spark = df.sparkSession
+    val spark = presorted.sparkSession
     import spark.implicits._
     val offDf = offsets.result().toDF("__pid", "__off")
     sorted

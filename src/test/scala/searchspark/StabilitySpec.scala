@@ -39,6 +39,44 @@ class StabilitySpec extends AnyFunSuite {
     assert(a == a.sortBy(x => (x._2, x._3)))
   }
 
+  test("fused assign dedup == dedupIndexable semantics (max tuple per key)") {
+    import java.sql.Timestamp
+    import searchspark.model.Turn
+    import org.apache.spark.sql.functions.col
+    // duplicate keys with conflicting tuples (incl. null role/tool/ts),
+    // blank and null texts, a key whose max is decided by each tiebreak
+    // field in turn — the fused window path must pick the same row as
+    // the groupBy-max form for every key
+    val rows = Seq(
+      Turn("c1", 0, "user", "old text", null, new Timestamp(1000L)),
+      Turn("c1", 0, "user", "new text", null, new Timestamp(2000L)), // ts decides
+      Turn("c1", 1, "assistant", "a", null, new Timestamp(1000L)),
+      Turn("c1", 1, null, "b", null, new Timestamp(1000L)),          // role decides (null < any)
+      Turn("c2", 0, "tool", "x", "bash", new Timestamp(500L)),
+      Turn("c2", 0, "tool", "x", "web", new Timestamp(500L)),        // tool decides
+      Turn("c2", 1, "user", "p", null, new Timestamp(500L)),
+      Turn("c2", 1, "user", "q", null, new Timestamp(500L)),         // text decides
+      Turn("c3", 0, "user", "   ", null, new Timestamp(1L)),         // blank: dropped
+      Turn("c3", 1, "user", null, null, new Timestamp(1L)),          // null: dropped
+      Turn("c3", 2, null, "keep me", null, null))                    // null role+ts survive
+    import spark.implicits._
+    val dsDup = spark.createDataset(rows)
+    val fused = DocIds.assign(spark, dsDup, partitions = 3)
+      .select("docId", "conv_id", "turn_idx", "role", "tool", "ts", "text")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    val unfused = searchspark.index.ZipIndex.withRank(
+        DocIds.dedupIndexable(dsDup.toDF()),
+        Seq(col("conv_id"), col("turn_idx")), 3, "docId")
+      .select("docId", "conv_id", "turn_idx", "role", "tool", "ts", "text")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(fused == unfused)
+    assert(fused.size == 5) // one row per surviving key; blanks gone
+    val byKey = fused.map(r => (r(1), r(2)) -> r(6)).toMap
+    assert(byKey(("c1", 0)) == "new text")
+    assert(byKey(("c2", 1)) == "q")
+    assert(byKey(("c3", 2)) == "keep me")
+  }
+
   test("row invariant: per-turn text equality through the build (input_hint)") {
     val idx = IndexBuild.build(spark, ds, partitions = 3)
     val carried = idx.docs.select("conv_id", "turn_idx", "text").collect()
