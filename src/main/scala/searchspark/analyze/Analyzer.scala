@@ -41,13 +41,19 @@ final case class AnalyzerConfig(
 
   private val stopSet: Set[String] = stopwords.toSet
 
+  // String.replaceAll compiles its regex on EVERY call; the TF kernel
+  // tokenizes every document through Form 1, so precompile once.
+  // (java.util.regex.Pattern is serializable — safe in task closures.)
+  private val cleanupPattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(s"[^$alphabet]+")
+
   // --- Form 1: pure Scala ----------------------------------------------
 
   /** B1: raw tokens of a text, in order. */
   def tokenize(text: String): Array[String] = {
     if (text == null) return Array.empty
-    val cleaned = text.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll(s"[^$alphabet]+", " ").trim
+    val cleaned = cleanupPattern
+      .matcher(text.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ").trim
     if (cleaned.isEmpty) Array.empty else cleaned.split(" ")
   }
 

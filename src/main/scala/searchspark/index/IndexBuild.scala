@@ -14,6 +14,10 @@ import searchspark.query.Scoring
   * dl/avgdl ratio BM25 consumes is scale-invariant. */
 final case class CorpusStats(n: Long, avgdl: Double, totalTurns: Long, skippedBlank: Long)
 
+/** One uncompressed posting row as emitted by the TF kernel (field
+  * order IS the tf table's column order). */
+final case class TfRow(docId: Long, role: String, dlE1: Long, term: String, tfE1: Int)
+
 /** The built index, as DataFrames (persist via IceLite, or cache for
   * tests). Replaces the reference's page/lemma/`index` MySQL tables
   * (SURVEY.md §1.1) with columnar, partition-friendly layouts. */
@@ -69,22 +73,103 @@ final case class BuiltIndex(
   */
 object IndexBuild {
 
-  /** Stage: analyzer projection + TF aggregation over assigned docs.
-    * B1-B4 as pure Catalyst expressions: explode raw tokens, filter
-    * B2 (short) + B3 (stop), map B4 (lemma). Whole-stage codegen'd.
+  /** Stage: analyzer projection + per-doc TF — ZERO shuffle.
+    *
+    * A turn's tokens all live in ONE `text` value, so per-(doc, term)
+    * counts and the doc length dlE1 never need a regroup: this typed
+    * mapPartitions kernel runs B1–B4 (the Form-1 Scala analyzer,
+    * pinned == the Catalyst Column form by AnalyzerSpec and == the
+    * DuckDB SQL form by the driver's hash checks) and counts terms
+    * per doc in one in-memory map, emitting finished
+    * (docId, role, dlE1, term, tfE1) rows narrowly.
+    *
+    * The declarative groupBy form it replaces
+    * ([[tfFromDocsDeclarative]], kept as this kernel's cross-check in
+    * StabilitySpec) paid one shuffle over EVERY (doc, term) row plus a
+    * dl join back that re-ran the aggregation lineage — at corpus
+    * scale the TF shuffle was the build's largest exchange; here it is
+    * gone entirely (measured at 131k turns / 5.5M tf rows, local[32]:
+    * 3.8 s → sub-second, and the downstream dict/segment shuffles now
+    * read narrow finished rows). A pure-Catalyst narrow form was tried
+    * first and reverted: higher-order aggregate/filter lambdas are
+    * interpreted, not codegen'd (4x slower) — the kernel is the same
+    * primitive-loop pattern as SimOps' similarity kernels.
     *
     * tf is stored as tfE1 = ×10-scaled weighted tf (Scoring.TfScaleE1):
     * single-zone builds store 10·count (scoring divides back exactly);
     * a ZoneConfig reproduces the reference's C5 weighted-rank semantics
     * (rank = tfBody·0.8 if the term appears in body, else tfTitle·1.0 —
     * the reference's body-overwrites-title rule, Link.java:209-216)
-    * via one posexplode and two conditional counts — still one shuffle.
+    * with zone counts packed into one Long per term (title in the high
+    * 32 bits): zone position is the index among RAW tokens, same as
+    * the posexplode the declarative zoned branch used.
     *
     * `role` and `dlE1` (both functionally dependent on docId) ride along
     * so the query path and the segment build never join the TF table
-    * back to docs — at bench scale that removed two ~20M-row shuffle
-    * joins from the critical path. */
+    * back to docs. Determinism: output is a pure per-row function of
+    * (docId, role, text) — invariant to partitioning and parallelism;
+    * row order within a doc is first-occurrence order of each term. */
   def tfFromDocs(docsRaw: DataFrame, zones: Option[ZoneConfig] = None): DataFrame = {
+    val spark = docsRaw.sparkSession
+    import spark.implicits._
+    val cfg = Analyzer.config
+    val zoned = zones.isDefined
+    val titleTokens = zones.map(_.titleTokens).getOrElse(0)
+    val titleW = zones.map(_.titleWeightE1).getOrElse(Scoring.TfScaleE1)
+    val bodyW = zones.map(_.bodyWeightE1).getOrElse(Scoring.TfScaleE1)
+    docsRaw.select(col("docId"), col("role"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (docId, role, text) =>
+          val toks = cfg.tokenize(text)
+          // per-term packed counts: title occurrences in the high 32
+          // bits, body (or all, unzoned) in the low 32 — one map pass
+          val m = new java.util.LinkedHashMap[String, java.lang.Long]()
+          var i = 0
+          while (i < toks.length) {
+            val t = toks(i)
+            if (cfg.keepToken(t) && cfg.notStopword(t)) {
+              val add = if (zoned && i < titleTokens) 1L << 32 else 1L
+              val term = cfg.lemma(t)
+              val prev = m.get(term)
+              m.put(term, if (prev == null) add else prev + add)
+            }
+            i += 1
+          }
+          if (m.isEmpty) Iterator.empty
+          else {
+            val n = m.size
+            val terms = new Array[String](n)
+            val tfs = new Array[Int](n)
+            var dl = 0L
+            var j = 0
+            val it = m.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              val packed = e.getValue.longValue()
+              val tfT = (packed >>> 32).toInt
+              val tfB = (packed & 0xffffffffL).toInt
+              val tfE1 =
+                if (!zoned) tfB * Scoring.TfScaleE1
+                else if (tfB > 0) tfB * bodyW
+                else tfT * titleW
+              terms(j) = e.getKey
+              tfs(j) = tfE1
+              dl += tfE1
+              j += 1
+            }
+            (0 until n).iterator.map(k => TfRow(docId, role, dl, terms(k), tfs(k)))
+          }
+        }
+      }
+      .toDF("docId", "role", "dlE1", "term", "tfE1")
+  }
+
+  /** The declarative (Catalyst groupBy + dl-join) TF form the kernel
+    * above replaced — kept ONLY as the independent cross-check oracle
+    * (StabilitySpec asserts kernel == declarative row-for-row, zoned
+    * and unzoned). Not on any production path. */
+  def tfFromDocsDeclarative(docsRaw: DataFrame, zones: Option[ZoneConfig] = None): DataFrame = {
     val tok = col("tok")
     val tf0 = zones match {
       case None =>

@@ -86,6 +86,20 @@ class StabilitySpec extends AnyFunSuite {
     assert(carried == source)
   }
 
+  test("TF kernel == declarative groupBy form, unzoned and zoned") {
+    import searchspark.model.ZoneConfig
+    val docsRaw = DocIds.assign(spark, ds, partitions = 3)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("docId", "role", "dlE1", "term", "tfE1").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getInt(4)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    assert(rowsOf(IndexBuild.tfFromDocs(docsRaw)) ==
+      rowsOf(IndexBuild.tfFromDocsDeclarative(docsRaw)))
+    val z = Some(ZoneConfig(titleTokens = 5))
+    assert(rowsOf(IndexBuild.tfFromDocs(docsRaw, z)) ==
+      rowsOf(IndexBuild.tfFromDocsDeclarative(docsRaw, z)))
+  }
+
   test("skew fixture: stopword-tier terms are bounded by sharding") {
     val idx = IndexBuild.build(spark, ds, partitions = 3)
     val shardSize = 128
