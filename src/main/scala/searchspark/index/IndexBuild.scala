@@ -268,13 +268,19 @@ object IndexBuild {
     * and are counted via docsRaw). */
   def corpusStats(docsRaw: DataFrame, tf: DataFrame, totalTurns: Long)
     : (CorpusStats, Map[String, (Long, Double)]) = {
-    // Two jobs total (global scalars derived from the per-role rollups):
+    // ONE job total (global scalars derived from the per-role rollups):
     // every extra driver job here is serial time paid identically at
     // every cluster size — pure Amdahl loss on the scaling criterion.
-    val roleN = docsRaw.groupBy("role").agg(count(lit(1)).as("n")).collect()
+    // The doc-count side scans docsRaw (zero-term docs must count) and
+    // the dl side scans tf; a left join runs both aggregations as one
+    // job (roles are a handful of rows — the join is a broadcast).
+    val roleRows = docsRaw.groupBy("role").agg(count(lit(1)).as("n"))
+      .join(tf.groupBy("role").agg(sum("tfE1").as("sumdl")), Seq("role"), "left")
+      .collect()
+    val roleN = roleRows
       .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
-    val roleDl = tf.groupBy("role").agg(sum("tfE1").as("sumdl")).collect()
-      .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
+    val roleDl = roleRows.filter(!_.isNullAt(2))
+      .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(2)).toMap
     val nDocs = roleN.valuesIterator.sum
     val sumDl = roleDl.valuesIterator.sum
     val stats = CorpusStats(nDocs,
