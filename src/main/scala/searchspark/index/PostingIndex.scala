@@ -67,6 +67,18 @@ object PostingIndex {
     val roleIdCol = idx.roleIds.toSeq.sortBy(_._1).foldLeft(lit(-1)) {
       case (acc, (r, id)) => when(col("role") === r, lit(id)).otherwise(acc)
     }
+    // Group-and-encode via ONE Tungsten repartition + within-partition
+    // sort, then a single streaming mapPartitions pass that cuts group
+    // boundaries on (shard, termId) and encodes each run. The
+    // groupByKey(lambda).mapGroups form this replaces deserialized
+    // every posting row TWICE (once in AppendColumns for the key
+    // function, once in the group iterator) and object-sorted every
+    // group by docId; here the shuffle, the (shard, termId, docId)
+    // sort (which makes each group arrive docId-ascending — exactly
+    // what the delta codec needs) and the group clustering all happen
+    // on binary rows with codegen, and rows become objects exactly
+    // once, inside the encode kernel. Group size stays bounded by
+    // shardSize, so the run buffer is bounded too.
     val rows = idx.tf // carries role+dlE1 — no docs join needed
       .join(idx.terms.select(col("term"), col("termId")), Seq("term"))
       .select(
@@ -74,23 +86,41 @@ object PostingIndex {
         col("termId"),
         col("docId"), col("tfE1").cast("int").as("tfE1"), col("dlE1"),
         roleIdCol.as("roleId"))
+    val groups = rows
+      .repartition(col("shard"), col("termId"))
+      .sortWithinPartitions("shard", "termId", "docId")
       .as[PostingRowSlim]
-    val groups = rows.groupByKey(r => (r.shard, r.termId))
-      .mapGroups { (key: (Int, Long), it: Iterator[PostingRowSlim]) =>
-        val (shard, termId) = key
-        val buf = it.toArray
-        buf.find(_.roleId < 0).foreach { bad =>
-          throw new IllegalStateException(
-            s"doc ${bad.docId} (shard $shard) carries a role absent from the " +
-              "role dictionary — tf and stats disagree; refusing to encode " +
-              "it under a foreign roleId")
+      .mapPartitions { it =>
+        new Iterator[SegGroup] {
+          private var pending: PostingRowSlim =
+            if (it.hasNext) it.next() else null
+          override def hasNext: Boolean = pending != null
+          override def next(): SegGroup = {
+            val shard = pending.shard
+            val termId = pending.termId
+            val docIds = new scala.collection.mutable.ArrayBuilder.ofLong
+            val tfs = new scala.collection.mutable.ArrayBuilder.ofInt
+            val dls = new scala.collection.mutable.ArrayBuilder.ofLong
+            val roles = new scala.collection.mutable.ArrayBuilder.ofInt
+            var r = pending
+            var more = true
+            while (more) {
+              if (r.roleId < 0)
+                throw new IllegalStateException(
+                  s"doc ${r.docId} (shard $shard) carries a role absent from " +
+                    "the role dictionary — tf and stats disagree; refusing " +
+                    "to encode it under a foreign roleId")
+              docIds += r.docId; tfs += r.tfE1; dls += r.dlE1; roles += r.roleId
+              if (it.hasNext) {
+                r = it.next()
+                more = r.shard == shard && r.termId == termId
+              } else { r = null; more = false }
+            }
+            pending = r
+            SegGroup(shard, termId,
+              Segments.encode(docIds.result(), tfs.result(), dls.result(), roles.result()))
+          }
         }
-        java.util.Arrays.sort(buf,
-          ((a: PostingRowSlim, b: PostingRowSlim) =>
-            java.lang.Long.compare(a.docId, b.docId)): java.util.Comparator[PostingRowSlim])
-        val blocks = Segments.encode(
-          buf.map(_.docId), buf.map(_.tfE1), buf.map(_.dlE1), buf.map(_.roleId))
-        SegGroup(shard, termId, blocks)
       }
     // dictionary attach on the GROUP rows (|shards|·|terms-per-shard|,
     // orders of magnitude fewer than postings)
