@@ -5,15 +5,25 @@ import org.apache.spark.sql.functions._
 
 import searchspark.model.TermPostings
 
-/** Row shape feeding the segment encoder: FIXED-WIDTH numerics only.
-  * The groupByKey exchange moves one of these per posting, so row width
-  * is the segment build's dominant shuffle cost — the term string and
-  * df are needed only once per (shard, termId) group and are attached
-  * by a dictionary join on the ~|groups|-row output instead of riding
-  * on every posting (one extra 8-byte UnsafeRow slot alone measured
-  * ~14% on the whole posting build; the term string is bigger). */
-final case class PostingRowSlim(
-    shard: Int, termId: Long, docId: Long, tfE1: Int, dlE1: Long, roleId: Int)
+/** Row shape feeding the segment encoder: FOUR packed Longs. The
+  * repartition exchange moves one of these per posting, so row width
+  * is the segment build's dominant shuffle cost — the optimized build
+  * is memory-bandwidth-bound at high parallelism, and every UnsafeRow
+  * slot removed is bandwidth returned to the encode (one extra 8-byte
+  * slot alone measured ~14% on the whole phase; the term string and df
+  * are attached by a dictionary join on the ~|groups|-row output
+  * instead of riding on every posting).
+  *
+  * key  = shard << 40 | termId  (shard < 2^23, termId < 2^40 — both
+  *        orders of magnitude above the 10^12-turn design point of
+  *        ~10^6 shards / ~10^9 terms; guarded by raise_error below, and
+  *        the layout keeps (key, docId) ordering == (shard, termId,
+  *        docId) ordering, so one binary sort serves the group cut and
+  *        the codec's docId-ascending contract)
+  * meta = tfE1 << 32 | roleId   (tfE1 is a positive int; roleId < 2^31,
+  *        with -1 = the absent-role sentinel mapped to all-ones low
+  *        word and caught by the kernel's roleId check) */
+final case class PostingRowPacked(key: Long, docId: Long, meta: Long, dlE1: Long)
 
 /** Encoded segment group before the dictionary attach. */
 final case class SegGroup(shard: Int, termId: Long, blocks: Array[searchspark.model.PostingBlock])
@@ -79,25 +89,35 @@ object PostingIndex {
     // on binary rows with codegen, and rows become objects exactly
     // once, inside the encode kernel. Group size stays bounded by
     // shardSize, so the run buffer is bounded too.
+    val shardCol = (col("docId") / shardSize).cast("long").as("shard")
+    val keyCol = when(col("shard") >= (1L << 23) || col("termId") >= (1L << 40),
+        raise_error(concat(lit("posting key overflow: shard="),
+          col("shard").cast("string"), lit(" termId="),
+          col("termId").cast("string"),
+          lit(" exceed the 23/40-bit packed layout"))))
+      .otherwise(shiftleft(col("shard"), 40).bitwiseOR(col("termId")))
     val rows = idx.tf // carries role+dlE1 — no docs join needed
       .join(idx.terms.select(col("term"), col("termId")), Seq("term"))
-      .select(
-        (col("docId") / shardSize).cast("int").as("shard"),
-        col("termId"),
-        col("docId"), col("tfE1").cast("int").as("tfE1"), col("dlE1"),
-        roleIdCol.as("roleId"))
+      .select(shardCol, col("termId"), col("docId"),
+        col("tfE1").cast("long").as("tfE1"), col("dlE1"),
+        roleIdCol.cast("long").as("roleId"))
+      .select(keyCol.as("key"), col("docId"),
+        shiftleft(col("tfE1"), 32).bitwiseOR(col("roleId").bitwiseAND(lit(0xffffffffL)))
+          .as("meta"),
+        col("dlE1"))
     val groups = rows
-      .repartition(col("shard"), col("termId"))
-      .sortWithinPartitions("shard", "termId", "docId")
-      .as[PostingRowSlim]
+      .repartition(col("key"))
+      .sortWithinPartitions("key", "docId")
+      .as[PostingRowPacked]
       .mapPartitions { it =>
         new Iterator[SegGroup] {
-          private var pending: PostingRowSlim =
+          private var pending: PostingRowPacked =
             if (it.hasNext) it.next() else null
           override def hasNext: Boolean = pending != null
           override def next(): SegGroup = {
-            val shard = pending.shard
-            val termId = pending.termId
+            val key = pending.key
+            val shard = (key >>> 40).toInt
+            val termId = key & ((1L << 40) - 1)
             val docIds = new scala.collection.mutable.ArrayBuilder.ofLong
             val tfs = new scala.collection.mutable.ArrayBuilder.ofInt
             val dls = new scala.collection.mutable.ArrayBuilder.ofLong
@@ -105,15 +125,17 @@ object PostingIndex {
             var r = pending
             var more = true
             while (more) {
-              if (r.roleId < 0)
+              val roleId = (r.meta & 0xffffffffL).toInt
+              if (roleId < 0)
                 throw new IllegalStateException(
                   s"doc ${r.docId} (shard $shard) carries a role absent from " +
                     "the role dictionary — tf and stats disagree; refusing " +
                     "to encode it under a foreign roleId")
-              docIds += r.docId; tfs += r.tfE1; dls += r.dlE1; roles += r.roleId
+              docIds += r.docId; tfs += (r.meta >>> 32).toInt
+              dls += r.dlE1; roles += roleId
               if (it.hasNext) {
                 r = it.next()
-                more = r.shard == shard && r.termId == termId
+                more = r.key == key
               } else { r = null; more = false }
             }
             pending = r

@@ -60,6 +60,38 @@ class PlanGuardSpec extends AnyFunSuite {
       "candidate generation must stay an equi-join")
   }
 
+  test("engine TF + segment plans: TF narrow, one segment exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import spark.implicits._
+    val turns = spark.createDataset(TranscriptGen.localCorpus(42L, 10))
+    val idx = searchspark.index.IndexBuild.build(spark, turns, partitions = 2)
+    // Plan-node collection stops at cache boundaries (InMemoryTableScan
+    // holds its cached plan out-of-tree), which is exactly the contract
+    // under test: what does each stage add ABOVE its cached inputs?
+    // AQE off so executedPlan is the concrete pre-adaptive tree.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // TF must stay a NARROW typed kernel over the cached docsRaw —
+      // zero exchanges of its own
+      val tfExec = searchspark.index.IndexBuild.tfFromDocs(idx.docs)
+        .queryExecution.executedPlan
+      assert(tfExec.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"per-doc TF must not shuffle:\n$tfExec")
+      assert(tfExec.toString.contains("MapPartitions"),
+        s"TF must be the typed kernel:\n$tfExec")
+      // segment build: exactly ONE shuffle (the packed-key repartition);
+      // the term-dictionary attach joins must broadcast
+      val segExec = searchspark.index.PostingIndex
+        .build(spark, idx, shardSize = 128).toDF()
+        .queryExecution.executedPlan
+      assert(segExec.collect { case e: ShuffleExchangeExec => e }.size == 1,
+        s"segment build must shuffle exactly once:\n$segExec")
+      assert(segExec.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"dictionary attach must broadcast, not shuffle-join:\n$segExec")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("persisted postings scan: query-term filter pushed to parquet") {
     import spark.implicits._
     val root = Files.createTempDirectory("planguard").toString
