@@ -39,4 +39,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // scaling efficiency. Pinning ActiveProcessorCount sizes all JVM
   // internal pools to the simulated cluster's core count, like a real
   // N-core executor would have.
-  sys.env.get("SPARK_GRAFT_PROC_COUNT").map(n => s"-XX:ActiveProcessorCount=$n").toSeq
+  sys.env.get("SPARK_GRAFT_PROC_COUNT").map(n => s"-XX:ActiveProcessorCount=$n").toSeq ++
+  // Optional extra JVM flags for bench experiments (e.g. GC choice)
+  sys.env.get("SPARK_GRAFT_JVM_FLAGS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
