@@ -52,24 +52,28 @@ final case class BuiltIndex(
 /** Distributed index build — the replacement for the reference's
   * crawl→lemmatize→row-at-a-time-upsert pipeline
   * (Link.java:188-218 did ≥3 SQL round trips PER LEMMA OCCURRENCE; here
-  * the whole corpus is two shuffles).
+  * the whole corpus is ONE wide shuffle of the texts plus narrow/small
+  * work — PlanGuardSpec pins the shape).
   *
   * Dataflow (SURVEY.md §3.2):
   *   transcripts scan
-  *     → blank filter + stable docId assignment       (DocIds, 1 range shuffle)
-  *     → analyzer projection B1–B4                    (narrow, codegen'd — no UDF)
-  *     → groupBy(docId, term).count                   (TF shuffle; partial agg
-  *                                                     makes Zipf-head terms a
-  *                                                     non-issue here: map-side
-  *                                                     combine collapses dups)
-  *     → dl per doc, df per (role, term) and global   (reuses TF, partial agg)
-  *     → terms dictionary with stable termId          (sort + zipWithIndex)
+  *     → blank filter + key-dedup + stable docId      (DocIds, the ONE range
+  *       assignment, fused into one exchange            shuffle of full texts)
+  *     → analyzer B1–B4 + per-doc TF + dl             (NARROW typed kernel —
+  *                                                     a doc's tokens never
+  *                                                     leave their row; zero
+  *                                                     shuffle, Zipf-head
+  *                                                     terms are a non-issue
+  *                                                     because nothing is
+  *                                                     grouped by term here)
+  *     → df per (role, term) and global               (partial agg over tf)
+  *     → terms dictionary with stable termId          (sort + zipWithIndex
+  *                                                     on the SMALL dict)
   *
-  * Everything per-doc-length-ish is agg'd with map-side combine; the only
-  * skew-sensitive step is the posting-SEGMENT build (collect a term's
-  * in-shard postings together), which Segments.scala bounds by sharding
-  * docId ranges — a term's group can never exceed the shard size
-  * (SURVEY.md §7.5.2).
+  * The only skew-sensitive step is the posting-SEGMENT build (collect a
+  * term's in-shard postings together, one packed-row exchange), which
+  * Segments.scala bounds by sharding docId ranges — a term's group can
+  * never exceed the shard size (SURVEY.md §7.5.2).
   */
 object IndexBuild {
 
