@@ -22,14 +22,22 @@ import searchspark.query.Wand
 object BuildBench {
 
   def runOnce(cores: Int, convs: Long): (Long, Double, Double) = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"buildbench-$cores")
       .config("spark.sql.shuffle.partitions",
         cores * sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "1").toInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Shuffle/spill dir on tmpfs when available: every simulated
+    // executor on this single host otherwise contends on ONE disk for
+    // shuffle files — a sandbox artifact (real cluster executors have
+    // their own local disks) that caps the high-parallelism level the
+    // same way unpinned ActiveProcessorCount inflated the low one.
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    if (new java.io.File(localDir).getParentFile.isDirectory)
+      builder.config("spark.local.dir", localDir)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
       def fullBuild(nConvs: Long): (Long, Double, Double) = {

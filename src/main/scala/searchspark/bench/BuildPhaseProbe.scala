@@ -17,7 +17,10 @@ object BuildPhaseProbe {
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[A](label: String)(body: => A): A = {
       val t0 = System.nanoTime()

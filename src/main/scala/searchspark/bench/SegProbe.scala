@@ -14,7 +14,10 @@ object SegProbe {
     val cores = args.lift(1).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val turns = TranscriptGen.corpus(spark, TranscriptGen.DefaultSeed, convs, cores * 2).cache()
     turns.count()
