@@ -184,7 +184,17 @@ object BuildPipeline {
     try {
     stage("docs_raw") {
       val totalTurns = turns.count()
+      // Sort-on-write: the persisted docs table is range-partitioned and
+      // sorted by docId so the query path's top-k hydration
+      // (Wand: docId isin(ids)) prunes row groups via parquet min/max
+      // stats instead of scanning every file (PlanGuardSpec pins it).
+      // This is the ONE text-bearing exchange left anywhere, and it is
+      // a durable-layout choice in the persist-only path — the
+      // in-memory build (the throughput metric) never moves text bytes
+      // (DocIds.assign class doc).
       val docsRaw = DocIds.assign(spark, turns, partitions)
+        .repartitionByRange(partitions, col("docId"))
+        .sortWithinPartitions("docId")
       val snap = IceLite.commit(spark, docsRaw, table("docs_raw"),
         props = Map("totalTurns" -> totalTurns.toString))
       snap.totalRows

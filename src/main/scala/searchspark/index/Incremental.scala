@@ -94,7 +94,12 @@ object Incremental {
     val maxId = docsRawOld.agg(max("docId")).head.getLong(0)
     val freshTurns = indexable.join(oldKeys.select("conv_id", "turn_idx"),
       Seq("conv_id", "turn_idx"), "left_anti").as[Turn](newTurns.encoder)
-    val fresh = DocIds.assign(spark, freshTurns, partitions)
+    // assignViaRangeExchange, not assign: freshTurns is a join-derived
+    // plan (left_anti above), which violates assign's repeatable-scan
+    // contract (AQE may re-coalesce between the key pass and the
+    // zip-back). Deltas are small — the single wide exchange is
+    // irrelevant here.
+    val fresh = DocIds.assignViaRangeExchange(spark, freshTurns, partitions)
       .withColumn("docId", col("docId") + lit(maxId + 1))
 
     val nReplaced = replaced.count()

@@ -52,13 +52,20 @@ final case class BuiltIndex(
 /** Distributed index build — the replacement for the reference's
   * crawl→lemmatize→row-at-a-time-upsert pipeline
   * (Link.java:188-218 did ≥3 SQL round trips PER LEMMA OCCURRENCE; here
-  * the whole corpus is ONE wide shuffle of the texts plus narrow/small
-  * work — PlanGuardSpec pins the shape).
+  * the texts are analyzed exactly where they sit — no exchange in the
+  * whole build ever carries a text column; only narrow keys, posting
+  * rows and id routes move — PlanGuardSpec pins the shape).
   *
   * Dataflow (SURVEY.md §3.2):
   *   transcripts scan
-  *     → blank filter + key-dedup + stable docId      (DocIds, the ONE range
-  *       assignment, fused into one exchange            shuffle of full texts)
+  *     → blank filter + key-dedup + stable docId      (DocIds two-pass: narrow
+  *       assignment                                     key rank + positional
+  *                                                      zip-back — TEXT BYTES
+  *                                                      NEVER CROSS AN
+  *                                                      EXCHANGE; the only
+  *                                                      shuffles are ~40-byte
+  *                                                      key rows and 16-byte
+  *                                                      id routes)
   *     → analyzer B1–B4 + per-doc TF + dl             (NARROW typed kernel —
   *                                                     a doc's tokens never
   *                                                     leave their row; zero
@@ -247,17 +254,21 @@ object IndexBuild {
     val timing = sys.env.contains("SPARK_GRAFT_PHASE_TIMING")
     val turnsCached = turns.cache()
     val totalTurns = phase("scan+count")(turnsCached.count())
-    // docsRaw is already backed by ZipIndex's cached sorted form — a
-    // second cache would hold the texts twice
-    val docsRaw = DocIds.assign(spark, turnsCached, partitions)
-    if (timing) phase("docIds")(docsRaw.count())
+    // Zero-text-shuffle assignment: the narrow key pass runs eagerly
+    // inside assignWithMeta (rank prefix sums); the text-bearing zip
+    // output stays LAZY and materializes exactly once — into the TF
+    // kernel below. keyMeta is the cached narrow winner table; every
+    // later per-doc question (stats role counts) reads it instead of
+    // re-walking texts.
+    val (docsRaw, keyMeta) =
+      phase("docIds")(DocIds.assignWithMeta(spark, turnsCached, partitions))
     val tf = tfFromDocs(docsRaw, zones).cache()
     if (timing) phase("tf")(tf.count())
     val terms = termDict(spark, tf, partitions)
     if (timing) phase("dict")(terms.count())
     val byRoleDf = termsByRole(tf)
 
-    val (stats, byRole) = phase("stats")(corpusStats(docsRaw, tf, totalTurns))
+    val (stats, byRole) = phase("stats")(corpusStats(keyMeta, tf, totalTurns))
     turnsCached.unpersist()
     BuiltIndex(docsRaw, tf, terms, byRoleDf, stats, byRole,
       roleList = byRole.keys.toSeq.sorted)
@@ -269,8 +280,12 @@ object IndexBuild {
     * oracle and across cluster sizes). dl sums come from the tf rows
     * (one tf row per (doc, term), dlE1 functionally dependent on docId →
     * use Σ tfE1 which equals Σ_docs dlE1; zero-term docs contribute 0
-    * and are counted via docsRaw). */
-  def corpusStats(docsRaw: DataFrame, tf: DataFrame, totalTurns: Long)
+    * and are counted via docMeta). `docMeta` is any one-row-per-doc
+    * frame with a normalized `role` column — the build passes the
+    * NARROW cached winner table so this job never touches text bytes;
+    * the pipeline's stats stage passes the persisted docs_raw (parquet
+    * column pruning reads role only). */
+  def corpusStats(docMeta: DataFrame, tf: DataFrame, totalTurns: Long)
     : (CorpusStats, Map[String, (Long, Double)]) = {
     // ONE job total (global scalars derived from the per-role rollups):
     // every extra driver job here is serial time paid identically at
@@ -278,7 +293,7 @@ object IndexBuild {
     // The doc-count side scans docsRaw (zero-term docs must count) and
     // the dl side scans tf; a left join runs both aggregations as one
     // job (roles are a handful of rows — the join is a broadcast).
-    val roleRows = docsRaw.groupBy("role").agg(count(lit(1)).as("n"))
+    val roleRows = docMeta.groupBy("role").agg(count(lit(1)).as("n"))
       .join(tf.groupBy("role").agg(sum("tfE1").as("sumdl")), Seq("role"), "left")
       .collect()
     val roleN = roleRows

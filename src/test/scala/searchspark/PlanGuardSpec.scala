@@ -92,6 +92,63 @@ class PlanGuardSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("no exchange anywhere in the build moves text bytes (r4 dataflow)") {
+    // The round-4 build contract: texts are analyzed where they sit.
+    // DocIds' two-pass assignment shuffles ~40-byte key rows and
+    // 16-byte id routes; TF is narrow; the segment build shuffles
+    // packed numerics. Capture EVERY query executed during a full
+    // build + segment materialization and assert no shuffle exchange
+    // output carries the text column. (The zip-back's RDD partitionBy
+    // moves (Int,(Long,Long)) pairs by construction — typed, no text.)
+    import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import spark.implicits._
+    val captured = scala.collection.mutable.ArrayBuffer[SparkPlan]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        captured.synchronized { captured += qe.executedPlan }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val turns = spark.createDataset(TranscriptGen.localCorpus(7L, 300)).cache()
+      turns.count()
+      val idx = searchspark.index.IndexBuild.build(spark, turns, partitions = 4)
+      val postings = searchspark.index.PostingIndex.build(spark, idx, shardSize = 256)
+      postings.toDF().count()
+      turns.unpersist()
+      // listener delivery is async on the shared bus — poll to a fixpoint
+      var last = -1
+      var spins = 0
+      while (spins < 100 && captured.synchronized(captured.size) != last) {
+        last = captured.synchronized(captured.size)
+        Thread.sleep(100)
+        spins += 1
+      }
+      // TreeNode.collect visits every node of THIS tree; the recursive
+      // cases splice in the out-of-tree plans (adaptive final plans,
+      // materialized query stages, cached relations) that generic
+      // traversal cannot see. ReusedExchangeExec is a leaf pointer to an
+      // exchange already captured in its own right.
+      def exchangesOf(p: SparkPlan): Seq[ShuffleExchangeExec] =
+        p.collect {
+          case e: ShuffleExchangeExec => Seq(e)
+          case a: AdaptiveSparkPlanExec => exchangesOf(a.executedPlan)
+          case q: QueryStageExec => exchangesOf(q.plan)
+          case im: InMemoryTableScanExec => exchangesOf(im.relation.cachedPlan)
+        }.flatten
+      val exchanges = captured.synchronized(captured.toVector).flatMap(exchangesOf)
+      assert(exchanges.nonEmpty,
+        "expected to observe the build's narrow exchanges (listener saw none)")
+      val offenders = exchanges.filter(_.output.exists(_.name.toLowerCase.contains("text")))
+      assert(offenders.isEmpty,
+        s"text column crossed an exchange:\n${offenders.map(_.output.mkString(", ")).mkString("\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("persisted postings scan: query-term filter pushed to parquet") {
     import spark.implicits._
     val root = Files.createTempDirectory("planguard").toString
@@ -102,5 +159,27 @@ class PlanGuardSpec extends AnyFunSuite {
       .filter(col("term").isInCollection(Seq("w0001", "w0002"))).toDF())
     assert(p.contains("PushedFilters: [In(term, [w0001,w0002])]"),
       s"term filter must reach the parquet scan (row-group pruning):\n$p")
+
+    // Query-time hydration (Wand: docId isin(top-k ids) over idx.docs)
+    // must prune on the persisted layout, not full-scan the texts: the
+    // pipeline writes docs_raw range-partitioned + sorted by docId, so
+    // the pushed In(docId, …) filter skips row groups via parquet
+    // min/max stats. Pin BOTH halves: the pushdown reaches the scan,
+    // and the loaded table preserves the docId-clustered layout.
+    val docs = BuildPipeline.loadRelational(spark, root).docs
+    val hp = plan(docs
+      .filter(col("docId").isInCollection(Seq(1L, 3L)))
+      .select("docId", "conv_id", "turn_idx", "role", "text"))
+    assert(hp.contains("PushedFilters: [In(docId, [1,3])]"),
+      s"hydration docId filter must reach the parquet scan:\n$hp")
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin, spark_partition_id}
+    val ranges = docs
+      .groupBy(spark_partition_id().as("p"))
+      .agg(fmin("docId").as("lo"), fmax("docId").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, s"persisted docs must stay docId-range-clustered for pruning: ${ranges.toSeq}")
   }
 }

@@ -39,7 +39,7 @@ class StabilitySpec extends AnyFunSuite {
     assert(a == a.sortBy(x => (x._2, x._3)))
   }
 
-  test("fused assign dedup == dedupIndexable semantics (max tuple per key)") {
+  test("zip assign == range-exchange assign == dedupIndexable (max tuple per key)") {
     import java.sql.Timestamp
     import searchspark.model.Turn
     import org.apache.spark.sql.functions.col
@@ -61,15 +61,20 @@ class StabilitySpec extends AnyFunSuite {
       Turn("c3", 2, null, "keep me", null, null))                    // null role+ts survive
     import spark.implicits._
     val dsDup = spark.createDataset(rows)
-    val fused = DocIds.assign(spark, dsDup, partitions = 3)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
       .select("docId", "conv_id", "turn_idx", "role", "tool", "ts", "text")
       .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
-    val unfused = searchspark.index.ZipIndex.withRank(
-        DocIds.dedupIndexable(dsDup.toDF()),
-        Seq(col("conv_id"), col("turn_idx")), 3, "docId")
-      .select("docId", "conv_id", "turn_idx", "role", "tool", "ts", "text")
-      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    // the zero-text-shuffle zip path (incl. its contested tie-break:
+    // (c2,1) ties on (ts, role, tool) and only the texts differ) ...
+    val fused = rowsOf(DocIds.assign(spark, dsDup, partitions = 3))
+    // ... must agree with BOTH independent forms: the single-exchange
+    // fused window form and the groupBy-max spec form
+    val viaExchange = rowsOf(DocIds.assignViaRangeExchange(spark, dsDup, 3))
+    val unfused = rowsOf(searchspark.index.ZipIndex.withRank(
+      DocIds.dedupIndexable(dsDup.toDF()),
+      Seq(col("conv_id"), col("turn_idx")), 3, "docId"))
     assert(fused == unfused)
+    assert(viaExchange == unfused)
     assert(fused.size == 5) // one row per surviving key; blanks gone
     val byKey = fused.map(r => (r(1), r(2)) -> r(6)).toMap
     assert(byKey(("c1", 0)) == "new text")
