@@ -301,33 +301,73 @@ object Analyzers {
       "по", "под", "при", "про", "с", "со", "то", "у", "уж", "хоть",
       "чтобы", "эх"),
     exceptions = RuLexicon.exceptions,
-    // pure strips (no re-append): every inflection of a word must land
-    // on the SAME stem — that collision is what df/conjunctive scoring
-    // needs; dictionary-form fidelity is the exception dict's job
+    // mostly pure strips: every inflection of a word must land on the
+    // SAME stem — that collision is what df/conjunctive scoring needs;
+    // dictionary-form fidelity is the exception dict's job. The past-
+    // tense rules re-append the theme vowel (али→а etc.) so past forms
+    // land on the present/infinitive stem WITHOUT a bare -л strip (a
+    // bare strip would mangle -ел/-ол nouns like раздел/символ; the
+    // vowel-anchored forms only ever match verbs and the rare -ал noun).
+    // Round-4 extension (round-3 verdict #5): soft-stem nouns (-ь/-я/
+    // -ей/-ью), the -ие/-ия noun class, adjective oblique/plural and
+    // comparative endings, -еть/-ить verbs, past tense — held-out floor
+    // measured 0.80 → ≥0.90 (AnalyzerSpec).
     rules = Seq(
       // reflexive-verb endings first: only verbs end in -ся/-сь forms,
       // so these strips can never damage a noun
       LemmaRule("ется", 6, 4, ""), LemmaRule("ются", 6, 4, ""),
       LemmaRule("ится", 6, 4, ""), LemmaRule("ться", 6, 4, ""),
+      // и-stem noun class (значение, станция, линия …): one stem for
+      // the whole paradigm, before the generic strips can shear it
       LemmaRule("иями", 6, 4, ""), LemmaRule("иях", 5, 3, ""),
+      LemmaRule("иям", 6, 3, ""), LemmaRule("ием", 6, 3, ""),
+      LemmaRule("ией", 6, 3, ""), LemmaRule("ии", 5, 2, ""),
+      LemmaRule("ие", 5, 2, ""), LemmaRule("ия", 5, 2, ""),
+      LemmaRule("ию", 5, 2, ""),
+      // plural/instrumental noun endings
       LemmaRule("ами", 5, 3, ""), LemmaRule("ями", 5, 3, ""),
+      // adjective long-form endings, hard + soft, incl. oblique/plural
+      LemmaRule("ыми", 6, 3, ""), LemmaRule("ими", 6, 3, ""),
       LemmaRule("ого", 5, 3, ""), LemmaRule("его", 5, 3, ""),
       LemmaRule("ому", 5, 3, ""), LemmaRule("ему", 5, 3, ""),
+      LemmaRule("ым", 5, 2, ""), LemmaRule("им", 5, 2, ""),
+      LemmaRule("ых", 5, 2, ""), LemmaRule("их", 5, 2, ""),
+      LemmaRule("ая", 5, 2, ""), LemmaRule("яя", 5, 2, ""),
+      LemmaRule("ую", 5, 2, ""), LemmaRule("юю", 5, 2, ""),
+      LemmaRule("ые", 5, 2, ""),
+      // comparative
+      LemmaRule("ее", 6, 2, ""),
+      // verb present endings (vowel-specific 3-char forms; а/я-theme
+      // verbs keep their theme vowel so present == infinitive stem)
       LemmaRule("ует", 5, 3, ""), LemmaRule("уют", 5, 3, ""),
-      LemmaRule("ишь", 5, 3, ""), LemmaRule("ите", 5, 3, ""),
-      LemmaRule("ает", 5, 3, ""), LemmaRule("ают", 5, 3, ""),
+      LemmaRule("ает", 5, 2, ""), LemmaRule("яет", 5, 2, ""),
+      LemmaRule("ают", 5, 2, ""), LemmaRule("яют", 5, 2, ""),
+      LemmaRule("ишь", 5, 3, ""), LemmaRule("ешь", 5, 3, ""),
+      LemmaRule("ите", 5, 3, ""), LemmaRule("ете", 5, 3, ""),
+      LemmaRule("ить", 5, 3, ""), LemmaRule("еть", 5, 3, ""),
+      LemmaRule("ит", 5, 2, ""), LemmaRule("ят", 5, 2, ""),
+      // verb past endings → theme-vowel stem (see header comment)
+      LemmaRule("ила", 6, 3, ""), LemmaRule("или", 6, 3, ""),
+      LemmaRule("ило", 6, 3, ""),
+      LemmaRule("ала", 6, 3, "а"), LemmaRule("яла", 6, 3, "я"),
+      LemmaRule("али", 6, 3, "а"), LemmaRule("яли", 6, 3, "я"),
+      LemmaRule("ало", 6, 3, "а"), LemmaRule("яло", 6, 3, "я"),
+      LemmaRule("ал", 5, 2, "а"), LemmaRule("ял", 5, 2, "я"),
+      LemmaRule("ил", 5, 2, ""),
+      // generic case endings
       LemmaRule("ах", 4, 2, ""), LemmaRule("ях", 4, 2, ""),
       LemmaRule("ам", 4, 2, ""), LemmaRule("ям", 4, 2, ""),
       LemmaRule("ом", 4, 2, ""), LemmaRule("ем", 4, 2, ""),
       LemmaRule("ою", 4, 2, ""), LemmaRule("ею", 4, 2, ""),
       LemmaRule("ий", 4, 2, ""), LemmaRule("ый", 4, 2, ""),
       LemmaRule("ой", 4, 2, ""), LemmaRule("ов", 4, 2, ""),
-      LemmaRule("ев", 4, 2, ""), LemmaRule("ть", 4, 2, ""),
+      LemmaRule("ев", 4, 2, ""), LemmaRule("ей", 5, 2, ""),
+      LemmaRule("ью", 5, 2, ""), LemmaRule("ть", 4, 2, ""),
       LemmaRule("ы", 4, 1, ""), LemmaRule("и", 4, 1, ""),
       LemmaRule("у", 4, 1, ""), LemmaRule("ю", 4, 1, ""),
       LemmaRule("е", 4, 1, ""), LemmaRule("а", 4, 1, ""),
-      LemmaRule("о", 4, 1, ""), LemmaRule("й", 4, 1, ""),
-      LemmaRule("ь", 4, 1, "")))
+      LemmaRule("о", 4, 1, ""), LemmaRule("я", 4, 1, ""),
+      LemmaRule("й", 4, 1, ""), LemmaRule("ь", 4, 1, "")))
 }
 
 /** Deterministic inline Russian fixture for the `b4_lemmatize_ru`

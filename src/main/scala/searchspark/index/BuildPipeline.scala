@@ -140,7 +140,8 @@ object BuildPipeline {
           inputId: String, partitions: Int,
           shardSize: Int = PostingIndex.DefaultShardSize,
           failAfter: Option[String] = None,
-          zones: Option[ZoneConfig] = None): BuildReport = {
+          zones: Option[ZoneConfig] = None,
+          catalog: TableCatalog = IceLite): BuildReport = {
     val params = Map("partitions" -> partitions.toString,
       "shardSize" -> shardSize.toString, "codec" -> "delta-varint-v2",
       "zones" -> zonesParam(zones))
@@ -165,13 +166,13 @@ object BuildPipeline {
       lastStage = name
       val ok = manifest.stages.get(name).exists(r =>
         r.fingerprint == fp && r.status == "done" &&
-          (IceLite.currentSnapshot(table(name)).isDefined || r.table.isEmpty))
+          (catalog.currentSnapshot(table(name)).isDefined || r.table.isEmpty))
       if (ok) { skipped += name }
       else {
         val t0 = System.nanoTime()
         val rows = body
         val rec = StageRecord(name, fp,
-          if (Files.exists(Paths.get(table(name), "metadata"))) table(name) else "",
+          if (catalog.currentSnapshot(table(name)).isDefined) table(name) else "",
           rows, (System.nanoTime() - t0) / 1000000, "done")
         manifest = manifest.copy(stages = manifest.stages + (name -> rec))
         writeManifest(root, manifest)
@@ -195,25 +196,25 @@ object BuildPipeline {
       val docsRaw = DocIds.assign(spark, turns, partitions)
         .repartitionByRange(partitions, col("docId"))
         .sortWithinPartitions("docId")
-      val snap = IceLite.commit(spark, docsRaw, table("docs_raw"),
+      val snap = catalog.commit(spark, docsRaw, table("docs_raw"),
         props = Map("totalTurns" -> totalTurns.toString))
       snap.totalRows
     }
 
-    lazy val docsRaw = IceLite.read(spark, table("docs_raw"))
+    lazy val docsRaw = catalog.read(spark, table("docs_raw"))
     stage("tf") {
-      IceLite.commit(spark, IndexBuild.tfFromDocs(docsRaw, zones), table("tf")).totalRows
+      catalog.commit(spark, IndexBuild.tfFromDocs(docsRaw, zones), table("tf")).totalRows
     }
 
-    lazy val tf = IceLite.read(spark, table("tf"))
+    lazy val tf = catalog.read(spark, table("tf"))
     stage("terms") {
-      IceLite.commit(spark, IndexBuild.termDict(spark, tf, partitions), table("terms")).totalRows
+      catalog.commit(spark, IndexBuild.termDict(spark, tf, partitions), table("terms")).totalRows
     }
     stage("terms_by_role") {
-      IceLite.commit(spark, IndexBuild.termsByRole(tf), table("terms_by_role")).totalRows
+      catalog.commit(spark, IndexBuild.termsByRole(tf), table("terms_by_role")).totalRows
     }
     stage("stats") {
-      val totalTurns = IceLite.currentSnapshot(table("docs_raw"))
+      val totalTurns = catalog.currentSnapshot(table("docs_raw"))
         .flatMap(_.props.get("totalTurns")).map(_.toLong).getOrElse(0L)
       val (stats, byRole) = IndexBuild.corpusStats(docsRaw, tf, totalTurns)
       val payload = Map(
@@ -231,7 +232,7 @@ object BuildPipeline {
       stats.n
     }
     stage("postings") {
-      val idx = loadRelational(spark, root)
+      val idx = loadRelational(spark, root, catalog)
       val segs = PostingIndex.build(spark, idx, shardSize)
       // at-rest layout: range-partition + sort by termId so a query's
       // term-IN filter prunes row groups via parquet min/max stats
@@ -239,7 +240,7 @@ object BuildPipeline {
       val sorted = segs.toDF()
         .repartitionByRange(math.max(1, partitions / 2), col("termId"))
         .sortWithinPartitions("termId", "shard")
-      IceLite.commit(spark, sorted, table("postings")).totalRows
+      catalog.commit(spark, sorted, table("postings")).totalRows
     }
 
     } catch {
@@ -259,7 +260,8 @@ object BuildPipeline {
   }
 
   /** Load the relational index tables from a build root. */
-  def loadRelational(spark: SparkSession, root: String): BuiltIndex = {
+  def loadRelational(spark: SparkSession, root: String,
+                     catalog: TableCatalog = IceLite): BuiltIndex = {
     def table(name: String) = Paths.get(root, name).toString
     val statsMap: Map[String, String] =
       mapper.readValue(Paths.get(root, "stats.json").toFile, stringMapRef)
@@ -270,17 +272,18 @@ object BuildPipeline {
       k.stripPrefix("role.") -> (n.toLong, a.toDouble)
     }
     BuiltIndex(
-      IceLite.read(spark, table("docs_raw")), // docs == docs_raw (dl lives in tf)
-      IceLite.read(spark, table("tf")),
-      IceLite.read(spark, table("terms")),
-      IceLite.read(spark, table("terms_by_role")),
+      catalog.read(spark, table("docs_raw")), // docs == docs_raw (dl lives in tf)
+      catalog.read(spark, table("tf")),
+      catalog.read(spark, table("terms")),
+      catalog.read(spark, table("terms_by_role")),
       stats, byRole,
       roleList = statsMap.get("roles").map(decodeRoles).getOrElse(Nil))
   }
 
   /** Load the compressed posting segments from a build root. */
-  def loadPostings(spark: SparkSession, root: String): Dataset[TermPostings] = {
+  def loadPostings(spark: SparkSession, root: String,
+                   catalog: TableCatalog = IceLite): Dataset[TermPostings] = {
     import spark.implicits._
-    IceLite.read(spark, Paths.get(root, "postings").toString).as[TermPostings]
+    catalog.read(spark, Paths.get(root, "postings").toString).as[TermPostings]
   }
 }

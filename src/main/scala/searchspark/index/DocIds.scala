@@ -165,6 +165,13 @@ object DocIds {
       .sortWithinPartitions(col("_1"), col("_2"),
         struct(col("_3"), col("_4"), col("_5")).desc, col("_6").desc)
       .as[(String, Int, java.lang.Long, String, String, Long)]
+    // Contested-key counter: bumped while the winners materialize (the
+    // rank pass's cache+count job), so the normal all-keys-decided case
+    // skips the contested collect job entirely — one fewer driver job
+    // in the build's serial constant. Retry-inflation is harmless: the
+    // accumulator only GATES the exact collect below, which recomputes
+    // the truth from the cached winners.
+    val contestedAcc = spark.sparkContext.longAccumulator("docids-contested")
     val perKey = keys.mapPartitions { it =>
       new Iterator[KeyWin] {
         private var cur = if (it.hasNext) it.next() else null
@@ -190,6 +197,7 @@ object DocIds {
             }
           }
           cur = nxt
+          if (contested) contestedAcc.add(1L)
           KeyWin(cid, tix, if (role == null) "" else role, tool,
             if (ts == null) null else DateTimeUtils.toJavaTimestamp(ts),
             mid, contested)
@@ -203,8 +211,10 @@ object DocIds {
     // evaluated only over the (normally zero) tied keys — the one case
     // where texts must be compared, confined to a broadcast-filtered
     // subset instead of a corpus-wide shuffle
-    val contestedKeys = winners0.filter(col("contested"))
-      .select("conv_id", "turn_idx").as[(String, Int)].collect()
+    val contestedKeys =
+      if (contestedAcc.value == 0L) Array.empty[(String, Int)]
+      else winners0.filter(col("contested"))
+        .select("conv_id", "turn_idx").as[(String, Int)].collect()
     val winners =
       if (contestedKeys.isEmpty) winners0
       else {

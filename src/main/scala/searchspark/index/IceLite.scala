@@ -34,7 +34,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * file set; a concurrent commit only ever renames a new pointer over
   * it.
   */
-object IceLite {
+object IceLite extends TableCatalog {
 
   /** One immutable data file (= one build partition's output). */
   final case class FileEntry(path: String, bytes: Long, rows: Long)
@@ -54,7 +54,7 @@ object IceLite {
   private def metaDir(table: String): Path = Paths.get(table, "metadata")
   private def currentPtr(table: String): Path = metaDir(table).resolve("current")
 
-  def currentSnapshot(table: String): Option[Snapshot] = {
+  override def currentSnapshot(table: String): Option[Snapshot] = {
     val ptr = currentPtr(table)
     if (!Files.exists(ptr)) None
     else {
@@ -68,10 +68,10 @@ object IceLite {
     * travel by reading an old v<id>.json still works). Atomicity: the
     * snapshot JSON is written to a temp name, then the `current` pointer
     * is replaced by an atomic rename. */
-  def commit(spark: SparkSession, df: DataFrame, table: String,
-             operation: String = "overwrite",
-             props: Map[String, String] = Map.empty,
-             partitions: Option[Int] = None): Snapshot = {
+  override def commit(spark: SparkSession, df: DataFrame, table: String,
+                      operation: String = "overwrite",
+                      props: Map[String, String] = Map.empty,
+                      partitions: Option[Int] = None): Snapshot = {
     val parent = currentSnapshot(table)
     // next id = max existing v*.json + 1, NOT parent+1: a crash between
     // the v<id>.json rename and the current-pointer rename leaves a
@@ -101,22 +101,7 @@ object IceLite {
     val out = partitions.map(df.repartition(_)).getOrElse(df)
     out.write.mode("errorifexists").parquet(dataDir.toString)
 
-    // per-file lineage row counts from parquet FOOTER metadata only — no
-    // second scan of the data just written (at a 100 TB commit a re-read
-    // for counting would double the write cost; footers are O(KB/file))
-    val hconf = spark.sessionState.newHadoopConf()
-    val dataStream = Files.list(dataDir)
-    val files = try dataStream.iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.getFileName.toString)
-      .map { p =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p.toString), hconf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val rows = try reader.getRecordCount finally reader.close()
-        FileEntry(p.toString, Files.size(p), rows)
-      }
-    finally dataStream.close()
+    val files = footerEntries(spark, dataDir)
     val snap = Snapshot(snapshotId, parent.map(_.snapshotId).getOrElse(-1L),
       operation, files.map(_.rows).sum, files, props)
 
@@ -135,8 +120,28 @@ object IceLite {
     snap
   }
 
+  /** Per-file lineage entries for a freshly written data dir, from
+    * parquet FOOTER metadata only — no second scan of the data just
+    * written (at a 100 TB commit a re-read for counting would double the
+    * write cost; footers are O(KB/file)). Shared with [[DirCatalog]]. */
+  private[index] def footerEntries(spark: SparkSession, dataDir: Path): Seq[FileEntry] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val dataStream = Files.list(dataDir)
+    try dataStream.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toString), hconf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val rows = try reader.getRecordCount finally reader.close()
+        FileEntry(p.toString, Files.size(p), rows)
+      }
+    finally dataStream.close()
+  }
+
   /** Read the current snapshot (or a pinned one — time travel). */
-  def read(spark: SparkSession, table: String, snapshotId: Option[Long] = None): DataFrame = {
+  override def read(spark: SparkSession, table: String, snapshotId: Option[Long] = None): DataFrame = {
     val snap = snapshotId match {
       case Some(id) =>
         mapper.readValue(metaDir(table).resolve(s"v$id.json").toFile, classOf[Snapshot])

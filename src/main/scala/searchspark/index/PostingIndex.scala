@@ -14,12 +14,17 @@ import searchspark.model.TermPostings
   * are attached by a dictionary join on the ~|groups|-row output
   * instead of riding on every posting).
   *
-  * key  = shard << 40 | termId  (shard < 2^23, termId < 2^40 — both
-  *        orders of magnitude above the 10^12-turn design point of
-  *        ~10^6 shards / ~10^9 terms; guarded by raise_error below, and
-  *        the layout keeps (key, docId) ordering == (shard, termId,
-  *        docId) ordering, so one binary sort serves the group cut and
-  *        the codec's docId-ascending contract)
+  * key  = shard << 40 | termId  (shard < 2^23, termId < 2^40; termId
+  *        headroom is ~30× the 10^12-turn design point of ~10^9 terms,
+  *        but the shard field's headroom DEPENDS ON shardSize: shards =
+  *        docs / shardSize, so 2^23 shards covers 10^12 docs only at
+  *        the cluster-scale shardSize ~2^20 the class doc prescribes —
+  *        at the test default 4096 the ceiling is ~3.4·10^10 docs.
+  *        Exceeding either field fails CLOSED via the raise_error
+  *        guards below, never silently corrupts a key. The layout keeps
+  *        (key, docId) ordering == (shard, termId, docId) ordering, so
+  *        one binary sort serves the group cut and the codec's
+  *        docId-ascending contract)
   * meta = tfE1 << 32 | roleId   (tfE1 is a positive int; roleId < 2^31,
   *        with -1 = the absent-role sentinel mapped to all-ones low
   *        word and caught by the kernel's roleId check) */

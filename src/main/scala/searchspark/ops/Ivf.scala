@@ -45,9 +45,15 @@ object Ivf {
   private val MemoMax = 4
   private val memo = new java.util.LinkedHashMap[String, Index](8, 0.75f, true)
 
-  /** NOTE: the key assumes the corpus at that signature is immutable
-    * (true for the driver's testdata dirs); regenerating files under the
-    * same path requires a new key or deleting the disk artifact.
+  /** NOTE: the in-session memo key assumes the corpus at that signature
+    * is immutable for the session's lifetime (true for the driver's
+    * testdata dirs) — a per-query fingerprint scan would tax every call
+    * at 10^9-vector scale. CROSS-session staleness is handled for real:
+    * the on-disk artifact stores a content [[fingerprint]] of the corpus
+    * it was built from, and [[load]] recomputes + validates it, falling
+    * back to a rebuild (which overwrites the stale artifact) when the
+    * corpus changed under the same path. A foreign/pre-planted artifact
+    * fails the same check.
     *
     * Resolution order: session memo → on-disk artifact (cold load, no
     * k-means) → build + persist. The disk artifact is what makes this an
@@ -64,7 +70,7 @@ object Ivf {
         val idx = diskRoot.flatMap(r => load(emb.sparkSession, r, emb))
           .getOrElse {
             val built = build(emb, k, iters)
-            diskRoot.foreach(r => save(built, r))
+            diskRoot.foreach(r => save(built, r, fingerprint(emb)))
             built
           }
         memo.put(key, idx)
@@ -83,17 +89,42 @@ object Ivf {
   private val centroidsRef =
     new com.fasterxml.jackson.core.`type`.TypeReference[Array[Array[Double]]] {}
 
+  /** Cheap content fingerprint of the embeddings corpus: row count plus
+    * Long sums of vec_id, label and vector length — ONE narrow scan,
+    * order-independent (Long adds commute exactly), and it changes
+    * whenever rows are added/removed/relabeled or the dim changes. Not
+    * cryptographic — it guards against stale/foreign artifacts, not an
+    * adversary who can already write to the artifact dir AND mimic the
+    * corpus. */
+  private[ops] def fingerprint(emb: DataFrame): String = {
+    val r = emb.agg(
+      count(lit(1)), sum(col("vec_id").cast("long")),
+      sum(col("label").cast("long")),
+      sum(size(col("embedding")).cast("long"))).head
+    def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    s"n=${r.getLong(0)};sid=${l(1)};slb=${l(2)};sdim=${l(3)}"
+  }
+
+  /** k ≈ √n codebook sizing (the standard IVF rule: balances the
+    * centroid-scoring cost k against the per-bucket scan n/k). Callers
+    * pass an explicit k to override. */
+  def autoK(n: Long): Int =
+    math.max(4, math.min(1 << 18, math.round(math.sqrt(n.toDouble)).toInt))
+
   /** Persist the index: the assignment as parquet PARTITIONED BY cluster
     * (a probed query's `cluster IN (…)` filter then prunes whole
     * directories — only ~nProbe/k of the assignment is ever read), the
-    * codebook as JSON. `codebook.json` is written LAST via atomic rename
-    * and acts as the commit marker: a crash mid-write leaves no marker,
-    * so `load` falls back to a rebuild instead of reading a torn
-    * artifact. */
-  def save(idx: Index, root: String): Unit = {
+    * corpus fingerprint, then the codebook as JSON. `codebook.json` is
+    * written LAST via atomic rename and acts as the commit marker: a
+    * crash mid-write leaves no marker, so `load` falls back to a rebuild
+    * instead of reading a torn artifact. */
+  def save(idx: Index, root: String, fp: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     idx.assign.write.mode("overwrite").partitionBy("cluster")
       .parquet(java.nio.file.Paths.get(root, "assign").toString)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "fingerprint.txt"),
+      fp.getBytes("UTF-8"))
     val tmp = java.nio.file.Paths.get(root, "codebook.json.tmp")
     java.nio.file.Files.write(tmp, jackson.writeValueAsBytes(idx.centroids))
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, "codebook.json"),
@@ -101,10 +132,17 @@ object Ivf {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Cold-load a persisted index (None if no committed artifact). */
+  /** Cold-load a persisted index. None (→ rebuild) if there is no
+    * committed artifact OR the stored fingerprint does not match the
+    * corpus now at the path — a regenerated corpus can never be served
+    * a stale index. */
   def load(spark: SparkSession, root: String, emb: DataFrame): Option[Index] = {
     val marker = java.nio.file.Paths.get(root, "codebook.json")
-    if (!java.nio.file.Files.exists(marker)) None
+    val fpFile = java.nio.file.Paths.get(root, "fingerprint.txt")
+    if (!java.nio.file.Files.exists(marker) ||
+        !java.nio.file.Files.exists(fpFile)) None
+    else if (new String(java.nio.file.Files.readAllBytes(fpFile), "UTF-8")
+               != fingerprint(emb)) None
     else {
       import spark.implicits._
       val cents: Array[Array[Double]] = jackson.readValue(marker.toFile, centroidsRef)
@@ -223,23 +261,34 @@ object Ivf {
   }
 
   /** The driver-contract entry: build-or-reuse the index for `sfDir`,
-    * then run one probed query. nProbe=8/16 is what full recall costs on
-    * the synthetic near-orthogonal corpus (true neighbors sit at cosine
-    * 0.3–0.5, barely above the bulk, so they scatter across clusters —
-    * measured: recall@10 = 1.0 needs 7–8 probes at every sf; on corpora
-    * with real cluster structure the same index prunes far deeper). */
+    * then run one probed query.
+    *
+    * nProbe/recall per corpus shape: on the synthetic near-orthogonal
+    * corpus true neighbors sit at cosine 0.3–0.5, barely above the bulk,
+    * so they scatter across clusters — measured: recall@10 = 1.0 needs
+    * 7–8 probes of k=16 at every sf. On corpora with real cluster
+    * structure (the regime IVF is for) neighbors co-locate with their
+    * centroid and nProbe ~ k/16 suffices; size nProbe to the measured
+    * recall on a held-out query set, starting at max(1, k/16).
+    *
+    * `k = 0` → [[autoK]] (≈√n); the fixed default 16 is the explicit
+    * override the driver queries pin. `artifactRoot`: where the
+    * persisted index lives — on a cluster pass a corpus-adjacent shared
+    * path (e.g. `<warehouse>/<table>_ivf`); the default is a PER-USER
+    * tmpdir (not world-shared — a foreign artifact would fail the
+    * fingerprint check in [[load]], but it shouldn't get the chance). */
   def annIvf(spark: SparkSession, sfDir: String, queryVecId: Long, topK: Int,
-             k: Int = 16, iters: Int = 5, nProbe: Int = 8): DataFrame = {
+             k: Int = 16, iters: Int = 5, nProbe: Int = 8,
+             artifactRoot: Option[String] = None): DataFrame = {
     val emb = SimOps.embeddings(spark, sfDir)
-    val key = s"$sfDir|k=$k|it=$iters"
-    // the on-disk artifact lives beside the JVM tmpdir keyed by the
-    // corpus signature, so a NEW session over the same corpus cold-loads
-    // instead of re-running k-means (on a cluster this would be an index
-    // directory next to the corpus)
-    val root = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "searchspark-ivf",
+    val kEff = if (k > 0) k else autoK(emb.count())
+    val key = s"$sfDir|k=$kEff|it=$iters"
+    val base = artifactRoot.getOrElse(java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"searchspark-ivf-${sys.props.getOrElse("user.name", "anon")}").toString)
+    val root = java.nio.file.Paths.get(base,
       java.lang.Long.toHexString(SimOps.hash60Scala(key))).toString
-    val idx = indexFor(emb, key, k, iters, diskRoot = Some(root))
+    val idx = indexFor(emb, key, kEff, iters, diskRoot = Some(root))
     query(idx, queryVecId, topK, nProbe, emb)
   }
 }

@@ -393,16 +393,23 @@ object TextOps {
     // carry no near-dup signal and uncapped they make the self-join
     // quadratic in the hottest key; the SQL oracle applies the same cap.
     //
-    // The df-cap and per-doc size are window counts INLINE on one shingle
-    // stream (not groupBy+join back): the old groupBy+join-back form had
-    // eight column-pruned variants of the tokenize/explode/distinct
-    // subtree that never canonicalized equal, so nothing was reused; this
-    // form is one subtree self-joined, and AQE materializes it once and
-    // plans the second branch as a ReusedExchange (sf0.1 warm: 3.2→2.3 s;
-    // same win at 100 TB where the shingle stream is the dominant scan).
-    val shRare = shingles(docs)
-      .withColumn("sdf", count(lit(1)).over(Window.partitionBy("shingle")))
+    // The df-cap is a MAP-SIDE-COMBINED groupBy joined back, not a
+    // window count partitioned by shingle: a window funnels every
+    // occurrence of the hottest shingle into ONE task's sort buffer (a
+    // straggler/spill at corpus scale, and window partitions can't be
+    // skew-split), while the partial agg reduces each hot key to one
+    // row per map task and the join-back probe streams — AQE skew-join
+    // can split it if a key is still hot (round-3 ADVICE). The df table
+    // it joins is one narrow row per RARE shingle. The per-doc `sz`
+    // window stays: its partitions are bounded by doc length. The whole
+    // shRare subtree is still self-joined once below, so AQE reuses its
+    // exchange across the a/b branches.
+    val rareKeys = shingles(docs)
+      .groupBy("shingle").agg(count(lit(1)).as("sdf"))
       .filter(col("sdf") <= dfCap && col("sdf") >= 2)
+      .select("shingle")
+    val shRare = shingles(docs)
+      .join(rareKeys, Seq("shingle"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .select("doc_id", "shingle", "sz")
     val pairs = shRare

@@ -114,7 +114,19 @@ class AnalyzerSpec extends AnyFunSuite {
       "играть" -> Seq("играть", "играю", "играет", "играют", "играл",
         "играла", "играли", "играется"),
       "гулять" -> Seq("гулять", "гуляет", "гуляют", "гулял",
-        "гуляла", "гуляли"))
+        "гуляла", "гуляли"),
+      // round-4 additions: soft-stem nouns, the -ие/-ия class, -еть
+      // verbs — the classes the round-3 floor (0.80) was losing
+      "модель" -> Seq("модель", "модели", "моделью", "моделей",
+        "моделям", "моделями", "моделях"),
+      "значение" -> Seq("значение", "значения", "значению", "значением",
+        "значении", "значений", "значениях", "значениями"),
+      "неделя" -> Seq("неделя", "недели", "неделю", "неделей",
+        "неделям", "неделями", "неделях"),
+      "станция" -> Seq("станция", "станции", "станцию", "станцией",
+        "станциям", "станциями", "станциях"),
+      "смотреть" -> Seq("смотреть", "смотрю", "смотрит", "смотрят",
+        "смотрел", "смотрела", "смотрели"))
     golden.foreach { case (lex, forms) =>
       assert(!ru.exceptions.contains(lex) && forms.forall(f => !ru.exceptions.contains(f)),
         s"golden lexeme $lex leaked into the lexicon — the set must stay held-out")
@@ -128,7 +140,7 @@ class AnalyzerSpec extends AnyFunSuite {
     val totalForms = perLexeme.map(_._4).sum
     val acc = correct.toDouble / totalForms
     info(f"held-out form-level stem consistency: $correct/$totalForms = $acc%.3f")
-    assert(acc >= 0.80, f"RU tail accuracy regressed: $acc%.3f < 0.80")
+    assert(acc >= 0.90, f"RU tail accuracy regressed: $acc%.3f < 0.90")
     // purity: no two held-out lexemes may collapse onto one stem
     val reps = perLexeme.map(_._2)
     assert(reps.distinct.size == reps.size,

@@ -78,6 +78,57 @@ class IvfSpec extends AnyFunSuite {
     Ivf.clearMemo()
   }
 
+  test("stale artifact is rejected: corpus fingerprint mismatch → rebuild") {
+    // simulate "data regenerated under the same path": build + persist
+    // the index over sf0.001, then ask for the SAME artifact root with a
+    // different corpus — load must refuse the stale codebook and rebuild
+    // (observable: the commit marker is re-written)
+    val root = java.nio.file.Files.createTempDirectory("ivf-stale").toString
+    val embA = SimOps.embeddings(spark, sfDirs.head)
+    val embB = SimOps.embeddings(spark, sfDirs(1))
+    Ivf.indexFor(embA, "stale|a", 16, 5, diskRoot = Some(root))
+    val marker = java.nio.file.Paths.get(root, "codebook.json")
+    val savedAt = java.nio.file.Files.getLastModifiedTime(marker)
+    Ivf.clearMemo()
+    assert(Ivf.load(spark, root, embB).isEmpty,
+      "a changed corpus must fail the fingerprint check")
+    Ivf.indexFor(embB, "stale|b", 16, 5, diskRoot = Some(root))
+    assert(java.nio.file.Files.getLastModifiedTime(marker) != savedAt,
+      "indexFor over the changed corpus must rebuild + re-commit")
+    // and the refreshed artifact now loads for B
+    Ivf.clearMemo()
+    assert(Ivf.load(spark, root, embB).isDefined)
+    Ivf.clearMemo()
+  }
+
+  test("auto-k (≈√n) index at a corpus-adjacent root matches brute force") {
+    val d = sfDirs.head
+    val emb = SimOps.embeddings(spark, d)
+    val n = emb.count()
+    val k = Ivf.autoK(n)
+    assert(k == math.max(4, math.round(math.sqrt(n.toDouble)).toInt))
+    // artifactRoot stands in for a corpus-adjacent index dir on a real
+    // cluster (the testdata dir itself is read-only here)
+    val root = java.nio.file.Files.createTempDirectory("ivf-adjacent").toString
+    val brute = SimOps.annTopK(emb, 0L, 10).collect().toSeq.map(_.toSeq)
+    val auto = Ivf.annIvf(spark, d, 0L, 10, k = 0, nProbe = k,
+      artifactRoot = Some(root)).collect().toSeq.map(_.toSeq)
+    assert(auto == brute, "auto-k full-probe IVF must recover the exact top-k")
+    // the artifact landed under the passed root and cold-loads from it
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(root)).count()
+    assert(dirs == 1, "index artifact must live under the corpus-adjacent root")
+    Ivf.clearMemo()
+    val again = Ivf.annIvf(spark, d, 0L, 10, k = 0, nProbe = k,
+      artifactRoot = Some(root)).collect().toSeq.map(_.toSeq)
+    assert(again == brute)
+    // probing fewer clusters really prunes the candidate scan
+    val idx = Ivf.indexFor(emb, s"$d|k=$k|it=5", k, 5)
+    val pruned = idx.assign.filter(
+      org.apache.spark.sql.functions.col("cluster").isInCollection(Seq(0, 1).map(Integer.valueOf)))
+    assert(pruned.count() < idx.assign.count())
+    Ivf.clearMemo()
+  }
+
   test("k-means assignment is deterministic across partitionings") {
     val d = sfDirs.head
     val emb = SimOps.embeddings(spark, d)
