@@ -31,6 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Serving-engine GC posture: G1's default 200 ms pause target lets a
+  // single mixed collection land inside a ~100 ms query sample and set
+  // the measured p95 by itself; 50 ms trades a little throughput for
+  // bounded pauses — the trade every latency-facing service makes.
+  "-XX:MaxGCPauseMillis=50",
 ) ++
   // Faithful N-core-cluster simulation for the scaling study: without
   // this, a local[N] JVM still sees every HOST cpu, so GC/JIT/netty

@@ -31,7 +31,7 @@ object SimOps {
     * h_i(shingle) = hash60(i || ':' || shingle); minh = min over the
     * doc's distinct 3-gram shingles. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = TextOps.shingles(docs)
+    val sh = TextOps.shinglesCached(docs)
     sh.select(col("doc_id"), col("shingle"),
         explode(expr(s"sequence(0, ${NumHashes - 1})")).as("i"))
       .select(col("doc_id"), col("i"),

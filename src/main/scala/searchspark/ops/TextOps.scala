@@ -156,7 +156,16 @@ object TextOps {
     // whole corpus three times). Spark's cache manager dedups by
     // logical plan, so repeated calls over the same corpus share ONE
     // pinned entry (bounded by distinct inputs, not call count).
-    val t = tf(scoped).cache()
+    //
+    // Scoped queries FILTER the corpus-wide tf (tf is per-doc, so
+    // tf(scoped) == tf(docs) semi-joined to the scoped doc ids) instead
+    // of re-tokenizing the scoped subset: every scope then shares the
+    // SAME cached corpus-wide table — at 100 TB the analog is scoping
+    // the persisted index, never re-analyzing text per scope.
+    val tAll = tf(docs).cache()
+    val t =
+      if (scopeLang.isEmpty) tAll
+      else tAll.join(scoped.select("doc_id"), Seq("doc_id"), "left_semi")
     val dls = scoped.select("doc_id")
       .join(t.groupBy("doc_id").agg(sum("tf").as("dl")), Seq("doc_id"), "left")
       .withColumn("dl", coalesce(col("dl"), lit(0L)))
@@ -374,11 +383,21 @@ object TextOps {
         .as("shingle"))
       .distinct()
 
+  /** [[shingles]] behind a session cache: shingling (tokenize + explode
+    * + distinct) is the shared prefix of fingerprinting, n-gram Jaccard
+    * and every MinHash op — the cache manager dedups by logical plan,
+    * so all of them pin ONE entry per corpus and the tokenize pass runs
+    * once per session instead of once per operator. Row width is one
+    * (long, short-string) pair per distinct shingle; MEMORY_AND_DISK
+    * spills gracefully at corpus scale. */
+  def shinglesCached(docs: DataFrame, k: Int = 3): DataFrame =
+    shingles(docs, k).cache()
+
   /** Document fingerprint: min md5 over the doc's shingles (winnowing
     * with window = whole doc; pure string order, no numeric-hash parity
     * issues across engines). */
   def fingerprint(docs: DataFrame): DataFrame =
-    shingles(docs).select(col("doc_id"), md5(col("shingle")).as("h"))
+    shinglesCached(docs).select(col("doc_id"), md5(col("shingle")).as("h"))
       .groupBy("doc_id").agg(min("h").as("fingerprint"))
       .orderBy("doc_id")
 
@@ -404,11 +423,12 @@ object TextOps {
     // window stays: its partitions are bounded by doc length. The whole
     // shRare subtree is still self-joined once below, so AQE reuses its
     // exchange across the a/b branches.
-    val rareKeys = shingles(docs)
+    val sh = shinglesCached(docs)
+    val rareKeys = sh
       .groupBy("shingle").agg(count(lit(1)).as("sdf"))
       .filter(col("sdf") <= dfCap && col("sdf") >= 2)
       .select("shingle")
-    val shRare = shingles(docs)
+    val shRare = sh
       .join(rareKeys, Seq("shingle"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .select("doc_id", "shingle", "sz")

@@ -45,19 +45,32 @@ class PlanGuardSpec extends AnyFunSuite {
       s"no shuffle/cartesian join on the query path:\n$p")
   }
 
-  test("ngramJaccard final plan: shingle pipeline materialized once (ReusedExchange)") {
-    // The window-count form keeps one canonical shingle subtree, so AQE
-    // must plan the self-join's second branch as a ReusedExchange instead
-    // of re-running tokenize/explode/distinct. Reuse only resolves in the
-    // FINAL adaptive plan, so execute via the df's own QueryExecution
-    // (collect, not count — count builds a separate one).
-    val q = TextOps.ngramJaccard(TextOps.documents(spark, sfDir))
-    q.collect()
-    val p = q.queryExecution.executedPlan.toString
-    assert(p.contains("ReusedExchange"),
-      s"self-join branches must dedupe at runtime:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
-      "candidate generation must stay an equi-join")
+  test("ngramJaccard final plan: shingle pipeline materialized once (cache scan)") {
+    // The shingle subtree (tokenize/explode/distinct) is session-cached
+    // (TextOps.shinglesCached — shared with fingerprint and every
+    // MinHash op), so every consumer branch must read the cache
+    // (InMemoryTableScan), never re-run the pipeline: the final plan may
+    // contain NO Generate (explode) node above the cache boundary.
+    // AQE off: the concrete pre-adaptive tree exposes operator nodes to
+    // collect(), and node collection stops at cache boundaries — the
+    // InMemoryRelation's own build plan (which legitimately contains the
+    // explode) is out-of-tree, so any GenerateExec found here would be a
+    // real re-run of the shingle pipeline.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = TextOps.ngramJaccard(TextOps.documents(spark, sfDir))
+      q.collect()
+      val exec = q.queryExecution.executedPlan
+      val p = exec.toString
+      assert(p.contains("InMemoryTableScan"),
+        s"self-join branches must read the shared shingle cache:\n$p")
+      assert(exec.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }.isEmpty,
+        s"tokenize/explode must not re-run above the shingle cache:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        "candidate generation must stay an equi-join")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("engine TF + segment plans: TF narrow, one segment exchange") {
