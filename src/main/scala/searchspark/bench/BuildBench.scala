@@ -41,13 +41,24 @@ object BuildBench {
     spark.sparkContext.setLogLevel("WARN")
     try {
       def fullBuild(nConvs: Long): (Long, Double, Double) = {
-        // Materialize the input BEFORE the timer: the metric is
-        // index-build throughput over an existing transcripts table
-        // (BASELINE.json input_hint) — corpus synthesis is the sandbox
-        // stand-in for the table scan, not part of the build.
-        val turns = TranscriptGen.corpus(spark, TranscriptGen.DefaultSeed, nConvs, cores * 2)
-          .cache()
-        turns.count()
+        // The input is an EXISTING transcripts table (BASELINE.json
+        // input_hint says the production input is an Iceberg table):
+        // synthesize the corpus once per (convs, layout) onto tmpfs
+        // parquet and read THAT — every fullBuild (warm-up and both
+        // timed runs, and the post-build hydration search) scans the
+        // table instead of re-running the generator lineage, exactly as
+        // a cluster build re-scans its input table. The timer covers
+        // the table scan + the full build, nothing of corpus synthesis.
+        // Layout is LEVEL-INDEPENDENT (fixed 32-way write, path keyed by
+        // size only): both parallelism levels scan the byte-identical
+        // table, the way one production table serves clusters of any
+        // size. (Corpus CONTENT is generation-parallelism-invariant —
+        // StabilitySpec — so any level may write it first.)
+        val path = s"/dev/shm/graft-corpus-$nConvs"
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          TranscriptGen.corpus(spark, TranscriptGen.DefaultSeed, nConvs, 32)
+            .write.mode("overwrite").parquet(path)
+        val turns = IndexBuild.readTranscripts(spark, path)
         val t0 = System.nanoTime()
         val idx = IndexBuild.build(spark, turns, partitions = cores * 2)
         val postings = PostingIndex.build(spark, idx, shardSize = 16384)
