@@ -252,7 +252,17 @@ object IndexBuild {
         r
       }
     val timing = sys.env.contains("SPARK_GRAFT_PHASE_TIMING")
-    val turnsCached = turns.cache()
+    // Input caching is for REPEATABILITY cost, not correctness (the
+    // two-pass docId assignment anchors one RDD instance either way).
+    // A plain file/table scan is re-scanned instead of cached: the
+    // build reads the input twice (narrow key pass, zip walk) and a
+    // second parallel columnar scan is cheaper — and scales better —
+    // than writing the whole text corpus into the memory cache first
+    // (the cache write is the kind of bandwidth-bound stage this
+    // build's dataflow otherwise eliminates). Anything non-leaf (a
+    // join-derived or generated input) still caches to pin its layout.
+    val inputIsTableScan = isRepeatableScan(turns.queryExecution.optimizedPlan)
+    val turnsCached = if (inputIsTableScan) turns else turns.cache()
     val totalTurns = phase("scan+count")(turnsCached.count())
     // Zero-text-shuffle assignment: the narrow key pass runs eagerly
     // inside assignWithMeta (rank prefix sums); the text-bearing zip
@@ -269,7 +279,7 @@ object IndexBuild {
     val byRoleDf = termsByRole(tf)
 
     val (stats, byRole) = phase("stats")(corpusStats(keyMeta, tf, totalTurns))
-    turnsCached.unpersist()
+    if (!inputIsTableScan) turnsCached.unpersist()
     BuiltIndex(docsRaw, tf, terms, byRoleDf, stats, byRole,
       roleList = byRole.keys.toSeq.sorted)
   }
@@ -309,6 +319,25 @@ object IndexBuild {
       role -> (n, roleDl.getOrElse(role, 0L).toDouble / n)
     }
     (stats, byRole)
+  }
+
+  /** True iff the plan is a bare file/table scan (optionally wrapped in
+    * Project/Filter/alias) — the class of inputs DocIds' repeatable-scan
+    * contract names as safe to re-evaluate: file splits are fixed at
+    * physical planning, so every pass over the ONE anchored RDD sees
+    * the same partition layout without a pinning cache. */
+  private[index] def isRepeatableScan(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project, SubqueryAlias}
+    plan match {
+      case p: Project => isRepeatableScan(p.child)
+      case f: LFilter => isRepeatableScan(f.child)
+      case a: SubqueryAlias => isRepeatableScan(a.child)
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case r if r.getClass.getSimpleName == "DataSourceV2ScanRelation" ||
+        r.getClass.getSimpleName == "DataSourceV2Relation" => true
+      case _ => false
+    }
   }
 
   /** Convenience: read a transcripts parquet path as Dataset[Turn]. */
