@@ -321,21 +321,40 @@ object IndexBuild {
     (stats, byRole)
   }
 
-  /** True iff the plan is a bare file/table scan (optionally wrapped in
-    * Project/Filter/alias) — the class of inputs DocIds' repeatable-scan
-    * contract names as safe to re-evaluate: file splits are fixed at
-    * physical planning, so every pass over the ONE anchored RDD sees
-    * the same partition layout without a pinning cache. */
+  /** True iff the plan is a bare FILE scan (optionally wrapped in
+    * deterministic Project/Filter/alias) — the class of inputs DocIds'
+    * repeatable-scan contract names as safe to re-evaluate: file splits
+    * are fixed at physical planning, so every pass over the ONE anchored
+    * RDD sees the same partition layout without a pinning cache.
+    *
+    * Everything else falls back to caching (fail-safe): a
+    * nondeterministic filter/projection (rand() sampling) would evaluate
+    * a DIFFERENT row set on the key pass vs the zip pass, and a non-file
+    * relation (JDBC, arbitrary V2 source) gives no per-partition
+    * row-order guarantee across re-scans — either silently mis-assigns
+    * docIds under the positional zip, so neither may classify as
+    * repeatable. V1 must be a HadoopFsRelation; V2 must be a FileTable
+    * (parquet/orc/csv/json v2) — the public superclass of every
+    * file-based V2 table — not just any relation. */
   private[index] def isRepeatableScan(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, FileTable}
+    def fileBacked(table: org.apache.spark.sql.connector.catalog.Table): Boolean =
+      table.isInstanceOf[FileTable] ||
+        // Iceberg snapshot tables are repeatable (reads pin a snapshot id)
+        // but the jar may be absent at compile time — match by name.
+        table.getClass.getName.toLowerCase.contains("iceberg")
     plan match {
-      case p: Project => isRepeatableScan(p.child)
-      case f: LFilter => isRepeatableScan(f.child)
+      case p: Project =>
+        p.projectList.forall(_.deterministic) && isRepeatableScan(p.child)
+      case f: LFilter =>
+        f.condition.deterministic && isRepeatableScan(f.child)
       case a: SubqueryAlias => isRepeatableScan(a.child)
-      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
-      case r if r.getClass.getSimpleName == "DataSourceV2ScanRelation" ||
-        r.getClass.getSimpleName == "DataSourceV2Relation" => true
+      case lr: LogicalRelation => lr.relation.isInstanceOf[HadoopFsRelation]
+      case r: DataSourceV2ScanRelation => fileBacked(r.relation.table)
+      case r: DataSourceV2Relation => fileBacked(r.table)
       case _ => false
     }
   }

@@ -105,6 +105,34 @@ class StabilitySpec extends AnyFunSuite {
       rowsOf(IndexBuild.tfFromDocsDeclarative(docsRaw, z)))
   }
 
+  test("uncached parquet build == in-memory build (cache-skip path, ADVICE r4)") {
+    // The production/bench path: input is a bare parquet scan, which the
+    // build classifies repeatable and does NOT cache — both DocIds passes
+    // re-scan the files. Pin that this path produces the identical index
+    // (TF rows imply rank/score identity; stats pin avgdl/N) and carries
+    // per-turn text equality, vs the cached in-memory-dataset build.
+    val dir = java.nio.file.Files.createTempDirectory("graft-uncached").toFile
+    dir.deleteOnExit()
+    val p = new java.io.File(dir, "turns.parquet").getAbsolutePath
+    ds.write.mode("overwrite").parquet(p)
+    // RepeatableScanSpec pins that this exact shape classifies as a
+    // repeatable scan, i.e. the build below runs UNCACHED.
+    val fromFiles = IndexBuild.readTranscripts(spark, p)
+    val a = IndexBuild.build(spark, fromFiles, partitions = 3)
+    val b = IndexBuild.build(spark, ds, partitions = 3)
+    def tfRows(idx: searchspark.index.BuiltIndex) = idx.tf
+      .select("docId", "role", "dlE1", "term", "tfE1").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getInt(4)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    assert(tfRows(a) == tfRows(b))
+    assert(a.stats == b.stats)
+    val carried = a.docs.select("conv_id", "turn_idx", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    val source = turns.filter(t => t.text != null && t.text.trim.nonEmpty)
+      .map(t => (t.conv_id, t.turn_idx) -> t.text).toMap
+    assert(carried == source)
+  }
+
   test("skew fixture: stopword-tier terms are bounded by sharding") {
     val idx = IndexBuild.build(spark, ds, partitions = 3)
     val shardSize = 128
