@@ -49,15 +49,20 @@ object BuildBench {
         // table instead of re-running the generator lineage, exactly as
         // a cluster build re-scans its input table. The timer covers
         // the table scan + the full build, nothing of corpus synthesis.
-        // Layout is LEVEL-INDEPENDENT (fixed 32-way write, path keyed by
-        // size only): both parallelism levels scan the byte-identical
-        // table, the way one production table serves clusters of any
-        // size. (Corpus CONTENT is generation-parallelism-invariant —
-        // StabilitySpec — so any level may write it first.)
-        val path = s"/dev/shm/graft-corpus-$nConvs"
+        // Layout is LEVEL-INDEPENDENT (fixed 32-way write): both
+        // parallelism levels scan the byte-identical table, the way one
+        // production table serves clusters of any size. (Corpus CONTENT
+        // is generation-parallelism-invariant — StabilitySpec — so any
+        // level may write it first.) Path is keyed by (seed, size,
+        // generator fingerprint) so a corpus persisted by an OLDER
+        // generator misses instead of silently serving both levels.
+        val path = s"/dev/shm/graft-corpus-$nConvs-" +
+          s"s${TranscriptGen.DefaultSeed}-g${TranscriptGen.GenFingerprint}"
         if (!new java.io.File(path, "_SUCCESS").exists())
           TranscriptGen.corpus(spark, TranscriptGen.DefaultSeed, nConvs, 32)
             .write.mode("overwrite").parquet(path)
+        System.err.println(s"[buildbench] corpus $path rows=" +
+          s"${spark.read.parquet(path).count()}")
         val turns = IndexBuild.readTranscripts(spark, path)
         val t0 = System.nanoTime()
         val idx = IndexBuild.build(spark, turns, partitions = cores * 2)

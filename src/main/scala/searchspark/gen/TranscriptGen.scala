@@ -36,6 +36,21 @@ object TranscriptGen {
 
   val DefaultSeed = 42L
 
+  /** Content fingerprint of the generator itself: an MD5 over a small
+    * deterministic sample, so any change to generation logic changes
+    * the value automatically (no manual version constant to forget).
+    * Benches key persisted-corpus cache paths by (seed, size, THIS) —
+    * a stale on-disk corpus from an older generator is then a cache
+    * miss, not a silently-wrong bench input (round-4 ADVICE). */
+  lazy val GenFingerprint: String = {
+    val sample = localCorpus(DefaultSeed, 3)
+      .map(t => s"${t.conv_id}${t.turn_idx}${t.role}${t.text}${t.tool}${t.ts}")
+      .mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sample.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map("%02x".format(_)).mkString
+  }
+
   /** 25 corpus-stopword-tier terms (df ≈ 0.9 > 0.85 threshold). */
   val FillerTerms: IndexedSeq[String] = (0 until 25).map(i => f"filler$i%02d")
 
