@@ -233,6 +233,15 @@ object BuildPipeline {
     }
     stage("postings") {
       val idx = loadRelational(spark, root, catalog)
+      // record the per-build packed-key split next to the manifest
+      // (derived from the corpus' max docId — see PostingIndex): purely
+      // observational (the key never outlives the build job), but it
+      // makes "what layout did this build use" auditable after the fact
+      val (shardBits, termBits) = PostingIndex.shardSplit(idx, shardSize)
+      Files.write(Paths.get(root, "postings_meta.json"),
+        (s"""{"shardSize":$shardSize,"shardBits":$shardBits,""" +
+          s""""termBits":$termBits,"codec":"delta-varint-v2"}""")
+          .getBytes("UTF-8"))
       val segs = PostingIndex.build(spark, idx, shardSize)
       // at-rest layout: range-partition + sort by termId so a query's
       // term-IN filter prunes row groups via parquet min/max stats

@@ -353,20 +353,29 @@ object SimOps {
       .toDF("vec_id", "label", "cos_e4")
   }
 
+  /** Fetch ONE embedding by id as a Catalyst equality filter: over a
+    * parquet corpus the predicate pushes to the scan (PushedFilters →
+    * row-group pruning via min/max stats; pinned by PlanGuardSpec), so
+    * the fetch is a ~one-row-group read, not a full-corpus pass — the
+    * per-query lookup cost every ANN entry point below pays. */
+  private[searchspark] def vecFetchPlan(emb: DataFrame, vecId: Long): DataFrame =
+    emb.filter(col("vec_id") === vecId).select("embedding")
+
+  private[ops] def fetchVec(emb: DataFrame, vecId: Long): Array[Float] =
+    vecFetchPlan(emb, vecId).head.getSeq[Float](0).toArray
+
   /** Brute-force cosine top-k against the embedding of `queryVecId`
     * (exact ANN baseline; ordering on rounded score + vec_id for
     * cross-engine determinism). */
   def annTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
-    val q = emb.filter(col("vec_id") === queryVecId)
-      .select("embedding").head.getSeq[Float](0).toArray
+    val q = fetchVec(emb, queryVecId)
     cosScoreKernel(emb.filter(col("vec_id") =!= queryVecId), q)
       .orderBy(col("cos_e4").desc, col("vec_id").asc)
       .limit(k)
   }
 
   private[ops] def annTopKWithin(emb: DataFrame, ids: DataFrame, queryVecId: Long, k: Int): DataFrame = {
-    val q = emb.filter(col("vec_id") === queryVecId)
-      .select("embedding").head.getSeq[Float](0).toArray
+    val q = fetchVec(emb, queryVecId)
     cosScoreKernel(emb.join(ids, Seq("vec_id")), q)
       .orderBy(col("cos_e4").desc, col("vec_id").asc)
       .limit(k)
