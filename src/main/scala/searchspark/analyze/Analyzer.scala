@@ -169,6 +169,47 @@ object RuLexicon {
     "л", "ла", "ло", "ли", "й", "йте")
   private val VerbIt = Seq("ить", "ю", "ишь", "ит", "им", "ите", "ят",
     "ил", "ила", "ило", "или")
+  // -еть verbs of the 2nd conjugation (сидеть: сидит/сидел); the
+  // mutated 1sg (сижу) is NOT minted by the template — it falls through
+  // to the suffix rules, a documented tail miss
+  private val VerbEt = Seq("еть", "ишь", "ит", "им", "ите", "ят",
+    "ел", "ела", "ело", "ели")
+
+  // --- round-5 generator extension (round-4 VERDICT #6): participles,
+  // prefixed aspect pairs, -еть conjugation, irregular plurals ---
+
+  private val AdjSoftEnd = Seq("ий", "его", "ему", "им", "ем", "ая",
+    "ей", "ую", "ее", "ие", "их", "ими")
+  private val AdjHardEnd = Seq("ый", "ого", "ому", "ым", "ом", "ая",
+    "ой", "ую", "ое", "ые", "ых", "ыми")
+
+  /** Active participles + gerund of one verb → its infinitive:
+    * present = presStem+mark (читающий, говорящий, сидящий) declined
+    * like a soft adjective; past = pastStem+вш (читавший, говоривший,
+    * сидевший); gerund = presStem+я (читая, говоря, сидя). */
+  private def actParts(inf: String, presStem: String, mark: String,
+                       pastStem: String): Seq[(String, String)] =
+    AdjSoftEnd.map(e => (presStem + mark + e) -> inf) ++
+      AdjSoftEnd.map(e => (pastStem + "вш" + e) -> inf) :+
+      ((presStem + "я") -> inf)
+
+  /** Past-passive participle of a transitive -ать verb: stem+нн long
+    * forms (прочитанный) + short forms (прочитан/-а/-о/-ы). */
+  private def passParts(inf: String, stem: String): Seq[(String, String)] =
+    AdjHardEnd.map(e => (stem + "нн" + e) -> inf) ++
+      Seq("н", "на", "но", "ны").map(e => (stem + e) -> inf)
+
+  /** Prefixed perfective aspect partner of an -ать base verb: the full
+    * conjugation (future = present endings), past-active participle and
+    * perfective gerund (прочитав), all → the PREFIXED infinitive (the
+    * aspect pair are distinct dictionary lemmas, as in the reference's
+    * morphology: читать ≠ прочитать). */
+  private def prefixed(prefix: String, base: String): Seq[(String, String)] = {
+    val inf = prefix + base
+    val stem = inf.dropRight(2)
+    decl(inf, stem, VerbAt) ++
+      AdjSoftEnd.map(e => (stem + "вш" + e) -> inf) :+ ((stem + "в") -> inf)
+  }
 
   private def nouns(endings: Seq[String], lemmaEnding: String, stems: String*) =
     stems.flatMap(st => decl(st + lemmaEnding, st, endings))
@@ -192,7 +233,26 @@ object RuLexicon {
       "показывать")
       .flatMap(l => decl(l, l.dropRight(2), VerbAt)) ++
     Seq("говорить", "помнить", "значить", "строить")
-      .flatMap(l => decl(l, l.dropRight(3), VerbIt))
+      .flatMap(l => decl(l, l.dropRight(3), VerbIt)) ++
+    // -еть 2nd-conjugation verbs (round 5)
+    Seq("сидеть", "лететь", "висеть", "шуметь")
+      .flatMap(l => decl(l, l.dropRight(3), VerbEt)) ++
+    // active participles + gerunds of every conjugated lexeme above
+    Seq("читать", "делать", "работать", "думать", "знать", "понимать",
+      "получать", "считать", "начинать", "отвечать", "спрашивать",
+      "показывать")
+      .flatMap(l => actParts(l, l.dropRight(2), "ющ", l.dropRight(2))) ++
+    Seq("говорить", "помнить", "значить", "строить")
+      .flatMap(l => actParts(l, l.dropRight(3), "ящ", l.dropRight(3) + "и")) ++
+    Seq("сидеть", "лететь", "висеть", "шуметь")
+      .flatMap(l => actParts(l, l.dropRight(3), "ящ", l.dropRight(3) + "е")) ++
+    // prefixed perfective aspect partners
+    Seq("про" -> "читать", "с" -> "делать", "по" -> "думать",
+      "у" -> "знать", "по" -> "работать", "по" -> "считать")
+      .flatMap { case (p, b) => prefixed(p, b) } ++
+    // past-passive participles of the transitive perfectives
+    Seq("прочитать", "сделать", "узнать", "посчитать")
+      .flatMap(l => passParts(l, l.dropRight(2)))
 
   private val irregular: Seq[(String, String)] = Seq(
     // suppletive plurals
@@ -232,6 +292,40 @@ object RuLexicon {
     "временам" -> "время",
     "путь" -> "путь", "пути" -> "путь", "путем" -> "путь", "путём" -> "путь",
     "путей" -> "путь", "путям" -> "путь", "путями" -> "путь", "путях" -> "путь",
+    // irregular plurals (-ья/-ена classes and friends, round 5)
+    "друг" -> "друг", "друга" -> "друг", "другу" -> "друг",
+    "другом" -> "друг", "друге" -> "друг",
+    "друзья" -> "друг", "друзей" -> "друг", "друзьям" -> "друг",
+    "друзьями" -> "друг", "друзьях" -> "друг",
+    "брат" -> "брат", "брата" -> "брат", "брату" -> "брат",
+    "братом" -> "брат", "брате" -> "брат",
+    "братья" -> "брат", "братьев" -> "брат", "братьям" -> "брат",
+    "братьями" -> "брат", "братьях" -> "брат",
+    "сын" -> "сын", "сына" -> "сын", "сыну" -> "сын",
+    "сыном" -> "сын", "сыне" -> "сын",
+    "сыновья" -> "сын", "сыновей" -> "сын", "сыновьям" -> "сын",
+    "сыновьями" -> "сын", "сыновьях" -> "сын",
+    "стул" -> "стул", "стула" -> "стул", "стулу" -> "стул",
+    "стулом" -> "стул", "стуле" -> "стул",
+    "стулья" -> "стул", "стульев" -> "стул", "стульям" -> "стул",
+    "стульями" -> "стул", "стульях" -> "стул",
+    "лист" -> "лист", "листа" -> "лист", "листу" -> "лист",
+    "листом" -> "лист", "листе" -> "лист",
+    "листья" -> "лист", "листьев" -> "лист", "листьям" -> "лист",
+    "листьями" -> "лист", "листьях" -> "лист",
+    "дерево" -> "дерево", "дерева" -> "дерево", "дереву" -> "дерево",
+    "деревом" -> "дерево", "дереве" -> "дерево",
+    "деревья" -> "дерево", "деревьев" -> "дерево", "деревьям" -> "дерево",
+    "деревьями" -> "дерево", "деревьях" -> "дерево",
+    "имя" -> "имя", "имени" -> "имя", "именем" -> "имя",
+    "имена" -> "имя", "имен" -> "имя", "имён" -> "имя",
+    "именам" -> "имя", "именами" -> "имя", "именах" -> "имя",
+    "мать" -> "мать", "матери" -> "мать", "матерью" -> "мать",
+    "матерей" -> "мать", "матерям" -> "мать", "матерями" -> "мать",
+    "матерях" -> "мать",
+    "дочь" -> "дочь", "дочери" -> "дочь", "дочерью" -> "дочь",
+    "дочерей" -> "дочь", "дочерям" -> "дочь", "дочерями" -> "дочь",
+    "дочерях" -> "дочь",
     // determiners + personal pronouns (pronouns survive the stop filter)
     "весь" -> "весь", "вся" -> "весь", "все" -> "весь", "всё" -> "весь",
     "всего" -> "весь", "всей" -> "весь", "всех" -> "весь", "всем" -> "весь",
@@ -354,6 +448,14 @@ object Analyzers {
       LemmaRule("ало", 6, 3, "а"), LemmaRule("яло", 6, 3, "я"),
       LemmaRule("ал", 5, 2, "а"), LemmaRule("ял", 5, 2, "я"),
       LemmaRule("ил", 5, 2, ""),
+      // -еть/-деть past (видел/смотрел → the е-less present stem, like
+      // видит/смотрит). Known trade-off: -ел nouns (раздел, пробел)
+      // lose their nominative to this strip — past-tense verbs dominate
+      // transcripts by orders of magnitude, and the held-out floor
+      // (which includes an -ал noun paying the analogous ал-rule tax)
+      // measures the net effect instead of hand-waving it
+      LemmaRule("ела", 6, 3, ""), LemmaRule("ели", 6, 3, ""),
+      LemmaRule("ело", 6, 3, ""), LemmaRule("ел", 5, 2, ""),
       // generic case endings
       LemmaRule("ах", 4, 2, ""), LemmaRule("ях", 4, 2, ""),
       LemmaRule("ам", 4, 2, ""), LemmaRule("ям", 4, 2, ""),

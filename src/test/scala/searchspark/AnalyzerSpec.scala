@@ -72,6 +72,21 @@ class AnalyzerSpec extends AnyFunSuite {
     // B4: exception dict wins over rules (first-normal-form analog)
     assert(ru.lemma("люди") == "человек")
     assert(ru.lemma("шёл") == "идти")
+    // round-5 generator classes: participles, prefixed aspect pairs,
+    // -еть conjugation, irregular plurals — all land on DICTIONARY forms
+    assert(ru.lemma("читающий") == "читать" && ru.lemma("читающего") == "читать")
+    assert(ru.lemma("читавший") == "читать" && ru.lemma("читая") == "читать")
+    assert(ru.lemma("говорящий") == "говорить" && ru.lemma("говоривший") == "говорить")
+    assert(ru.lemma("прочитал") == "прочитать" && ru.lemma("прочитав") == "прочитать")
+    assert(ru.lemma("прочитанный") == "прочитать" && ru.lemma("прочитана") == "прочитать")
+    assert(ru.lemma("сделаю") == "сделать" && ru.lemma("сделанные") == "сделать")
+    assert(ru.lemma("сидит") == "сидеть" && ru.lemma("сидел") == "сидеть"
+      && ru.lemma("сидящий") == "сидеть" && ru.lemma("сидевший") == "сидеть")
+    assert(ru.lemma("друзья") == "друг" && ru.lemma("друзьями") == "друг")
+    assert(ru.lemma("стулья") == "стул" && ru.lemma("деревьев") == "дерево")
+    assert(ru.lemma("имена") == "имя" && ru.lemma("матери") == "мать")
+    // aspect pair stays two lemmas (reference morphology behavior)
+    assert(ru.lemma("читал") == "читать" && ru.lemma("прочитал") == "прочитать")
     // B4: lexicon-covered inflections land on the DICTIONARY form
     assert(ru.lemma("столы") == "стол" && ru.lemma("столами") == "стол"
       && ru.lemma("столах") == "стол" && ru.lemma("стола") == "стол")
@@ -126,7 +141,21 @@ class AnalyzerSpec extends AnyFunSuite {
       "станция" -> Seq("станция", "станции", "станцию", "станцией",
         "станциям", "станциями", "станциях"),
       "смотреть" -> Seq("смотреть", "смотрю", "смотрит", "смотрят",
-        "смотрел", "смотрела", "смотрели"))
+        "смотрел", "смотрела", "смотрели"),
+      // round-5 additions: a soft feminine -ь noun, a second -еть verb
+      // (the held-out probe of the VerbEt class the lexicon now covers
+      // for its OWN lexemes — this one must survive on rules alone),
+      // and two regular nouns
+      "площадь" -> Seq("площадь", "площади", "площадью", "площадей",
+        "площадям", "площадями", "площадях"),
+      "видеть" -> Seq("видеть", "вижу", "видит", "видят",
+        "видел", "видела", "видели"),
+      "журнал" -> Seq("журнал", "журнала", "журналу", "журналом",
+        "журнале", "журналы", "журналов", "журналам", "журналах"),
+      "вечер" -> Seq("вечер", "вечера", "вечеру", "вечером", "вечере",
+        "вечерам", "вечерами", "вечерах"),
+      "корабль" -> Seq("корабль", "корабля", "кораблю", "кораблем",
+        "корабли", "кораблей", "кораблям", "кораблями", "кораблях"))
     golden.foreach { case (lex, forms) =>
       assert(!ru.exceptions.contains(lex) && forms.forall(f => !ru.exceptions.contains(f)),
         s"golden lexeme $lex leaked into the lexicon — the set must stay held-out")
@@ -140,7 +169,7 @@ class AnalyzerSpec extends AnyFunSuite {
     val totalForms = perLexeme.map(_._4).sum
     val acc = correct.toDouble / totalForms
     info(f"held-out form-level stem consistency: $correct/$totalForms = $acc%.3f")
-    assert(acc >= 0.90, f"RU tail accuracy regressed: $acc%.3f < 0.90")
+    assert(acc >= 0.95, f"RU tail accuracy regressed: $acc%.3f < 0.95")
     // purity: no two held-out lexemes may collapse onto one stem
     val reps = perLexeme.map(_._2)
     assert(reps.distinct.size == reps.size,
