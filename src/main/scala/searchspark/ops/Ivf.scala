@@ -32,16 +32,19 @@ object Ivf {
     * up to ~2^39 vectors per cluster). */
   private val Scale = 1L << 24
 
+  /** The queryable artifact: codebook + assignment. Deliberately does
+    * NOT hold the source vectors — queries fetch them from the corpus
+    * relation (pushed-down keyed reads / probed-bucket joins), so a
+    * cold-loaded index pins ~2 narrow columns, never the embeddings. */
   final case class Index(
       centroids: Array[Array[Double]], // unit-normalized, index = cluster id
-      assign: DataFrame, // vec_id BIGINT, cluster INT  (cached)
-      vecs: Dataset[(Long, Array[Float])]) // cached source vectors
+      assign: DataFrame) // vec_id BIGINT, cluster INT  (cached)
 
   /** Driver-side memo: one Index per (corpus path signature) — queries
     * after the first reuse the codebook + assignment (an index is a
-    * build artifact, not per-query work). BOUNDED: each entry pins two
-    * cached datasets, so the oldest entry is unpersisted and evicted
-    * past [[MemoMax]] distinct corpora. */
+    * build artifact, not per-query work). BOUNDED: each entry pins a
+    * cached assignment table, so the oldest entry is unpersisted and
+    * evicted past [[MemoMax]] distinct corpora. */
   private val MemoMax = 4
   private val memo = new java.util.LinkedHashMap[String, Index](8, 0.75f, true)
 
@@ -79,7 +82,6 @@ object Ivf {
           val oldest = it.next().getValue
           it.remove()
           oldest.assign.unpersist()
-          oldest.vecs.unpersist()
         }
         idx
       }
@@ -144,16 +146,13 @@ object Ivf {
     else if (new String(java.nio.file.Files.readAllBytes(fpFile), "UTF-8")
                != fingerprint(emb)) None
     else {
-      import spark.implicits._
       val cents: Array[Array[Double]] = jackson.readValue(marker.toFile, centroidsRef)
       val assign = spark.read
         .parquet(java.nio.file.Paths.get(root, "assign").toString)
         .select(col("vec_id").cast("long").as("vec_id"),
           col("cluster").cast("int").as("cluster"))
         .cache()
-      val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
-        .as[(Long, Array[Float])].cache()
-      Some(Index(cents, assign, vecs))
+      Some(Index(cents, assign))
     }
   }
 
@@ -163,7 +162,7 @@ object Ivf {
     val it = memo.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next().getValue
-      e.assign.unpersist(); e.vecs.unpersist()
+      e.assign.unpersist()
       it.remove()
     }
   }
@@ -241,7 +240,8 @@ object Ivf {
     val assign = vecs.map { case (id, v) => (id, nearest(v, bFinal.value)) }
       .toDF("vec_id", "cluster").cache()
     assign.count() // materialize the artifact once
-    Index(cents, assign, vecs)
+    vecs.unpersist() // build-time working set only; queries read the corpus
+    Index(cents, assign)
   }
 
   /** Top-k cosine within the probed buckets. Exact scoring arithmetic
