@@ -74,11 +74,34 @@ object Bench {
     val turns = TranscriptGen.corpus(spark, TranscriptGen.DefaultSeed,
       benchConvs.toLong, cpus.toInt * 2).cache()
     turns.count()
-    val t0 = System.nanoTime()
-    val idx = IndexBuild.build(spark, turns, partitions = cpus.toInt * 2)
-    val postings = PostingIndex.build(spark, idx, shardSize = 16384).cache()
-    val nPostings = postings.count() // materialize the full segment build
-    val buildSec = (System.nanoTime() - t0) / 1e9
+    // Round-5: the build is timed TWICE with full cache isolation and
+    // the MIN billed (JSON: build_protocol, build_sec_runs) — the same
+    // noise defense the latency section got this round; the single-shot
+    // build number swung 3× on unchanged code when a host window landed
+    // on it. Isolation matters: CacheManager matches by plan equality,
+    // so without evicting run 1's internal caches (tf, keyMeta, the
+    // postings table) run 2 would partly read them and measure nothing.
+    // The corpus cache is re-pinned between runs, outside the timer.
+    def timedBuild(): (Double, searchspark.index.BuiltIndex,
+        org.apache.spark.sql.Dataset[searchspark.model.TermPostings], Long) = {
+      val t0 = System.nanoTime()
+      val i = IndexBuild.build(spark, turns, partitions = cpus.toInt * 2)
+      val p = PostingIndex.build(spark, i, shardSize = 16384).cache()
+      val n = p.count() // materialize the full segment build
+      ((System.nanoTime() - t0) / 1e9, i, p, n)
+    }
+    val run1 = timedBuild()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+    turns.cache()
+    turns.count()
+    val run2 = timedBuild()
+    require(run1._4 == run2._4,
+      s"build runs disagree: ${run1._4} vs ${run2._4} posting rows")
+    val buildSecRuns = Seq(run1._1, run2._1)
+    val buildSec = buildSecRuns.min
+    val (_, idx, postings, nPostings) = run2
     val turnsPerSec = idx.stats.totalTurns / buildSec
 
     // 3) engine: top-k BM25 latency over the built index (reference
@@ -164,7 +187,7 @@ object Bench {
     val exactCount = engine.search(headQ).count
     val approxCount = engine.search(headQ, exactTotal = false).count
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","queries":$qs,"sf":"$sfDir","cpus":$cpus,"build_turns":${idx.stats.totalTurns},"build_sec":${f"$buildSec%.2f"},"build_turns_per_sec":${f"$turnsPerSec%.0f"},"postings_rows":$nPostings,"query_p50_ms":${f"$p50%.1f"},"query_p95_ms":${f"$p95%.1f"},"latency_protocol":"best_of_3_windows_by_p95","latency_windows":$windowsJson,"scoped_p50_ms":${f"$p50Scoped%.1f"},"head_query_exact_ms":${f"$exactMs%.1f"},"head_query_approx_ms":${f"$approxMs%.1f"},"head_total_exact":$exactCount,"head_total_approx":$approxCount}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","queries":$qs,"sf":"$sfDir","cpus":$cpus,"build_turns":${idx.stats.totalTurns},"build_sec":${f"$buildSec%.2f"},"build_protocol":"min_of_2_isolated","build_sec_runs":${buildSecRuns.map(s => f"$s%.2f").mkString("[", ",", "]")},"build_turns_per_sec":${f"$turnsPerSec%.0f"},"postings_rows":$nPostings,"query_p50_ms":${f"$p50%.1f"},"query_p95_ms":${f"$p95%.1f"},"latency_protocol":"best_of_3_windows_by_p95","latency_windows":$windowsJson,"scoped_p50_ms":${f"$p50Scoped%.1f"},"head_query_exact_ms":${f"$exactMs%.1f"},"head_query_approx_ms":${f"$approxMs%.1f"},"head_total_exact":$exactCount,"head_total_approx":$approxCount}"""
     println(json)
     // stable on-disk copy (stdout additionally carries sbt noise when the
     // run is wrapped; BENCH_r01.json came back "parsed": null)
