@@ -361,8 +361,12 @@ object SimOps {
   private[searchspark] def vecFetchPlan(emb: DataFrame, vecId: Long): DataFrame =
     emb.filter(col("vec_id") === vecId).select("embedding")
 
-  private[ops] def fetchVec(emb: DataFrame, vecId: Long): Array[Float] =
-    vecFetchPlan(emb, vecId).head.getSeq[Float](0).toArray
+  private[ops] def fetchVec(emb: DataFrame, vecId: Long): Array[Float] = {
+    val rows = vecFetchPlan(emb, vecId).take(1)
+    require(rows.nonEmpty,
+      s"query vector vec_id=$vecId not found in the embeddings relation")
+    rows(0).getSeq[Float](0).toArray
+  }
 
   /** Brute-force cosine top-k against the embedding of `queryVecId`
     * (exact ANN baseline; ordering on rounded score + vec_id for

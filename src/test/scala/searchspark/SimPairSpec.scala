@@ -31,6 +31,15 @@ class SimPairSpec extends AnyFunSuite {
       s"segment blocking must be an equi-join:\n$p")
   }
 
+  test("annTopK on a missing query vec_id fails loudly, naming the id") {
+    val emb = SimOps.embeddings(spark, sfDir)
+    val e = intercept[IllegalArgumentException] {
+      SimOps.annTopK(emb, queryVecId = -987654L, k = 5).collect()
+    }
+    assert(e.getMessage.contains("-987654"),
+      s"error must name the missing vec_id: ${e.getMessage}")
+  }
+
   test("embedCosinePairs chunk kernel == all-pairs Catalyst form, no cartesian") {
     val emb = SimOps.embeddings(spark, sfDir)
     val chunked = SimOps.embedCosinePairs(emb, 0.45)
