@@ -28,6 +28,32 @@ class ShardSplitSpec extends AnyFunSuite {
     assert(PostingIndex.splitFor(1000000000000L / 4096) == (28, 35))
   }
 
+  test("termId overflow of the DERIVED split still fails closed") {
+    import spark.implicits._
+    // docId ~2^44 at shardSize 16 → shard needs 41 bits, leaving 22 for
+    // termId; a termId of 2^22 must abort loudly (raise_error), never
+    // silently corrupt a packed key.
+    val bigDoc = 1L << 44
+    val tf = Seq((bigDoc, "user", 10L, "alpha", 1))
+      .toDF("docId", "role", "dlE1", "term", "tfE1")
+    val terms = Seq(("alpha", 1L << 22, 1L, 1L))
+      .toDF("term", "termId", "df", "cf")
+    val idx = BuiltIndex(
+      docs = spark.emptyDataFrame, tf = tf, terms = terms,
+      termsByRole = spark.emptyDataFrame,
+      stats = CorpusStats(1, 1.0, 1, 0),
+      statsByRole = Map("user" -> (1L, 1.0)),
+      roleList = Seq("user"))
+    assert(PostingIndex.shardSplit(idx, 16) == (41, 22))
+    val e = intercept[Exception] {
+      PostingIndex.build(spark, idx, shardSize = 16).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("posting key overflow")),
+      s"expected the raise_error overflow guard, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("high-docId build the 23/40 split would have rejected") {
     import spark.implicits._
     // docId 10^10 at shardSize 16 → shard 6.25·10^8 ≫ 2^23: the old
