@@ -53,6 +53,15 @@ class ResumeSpec extends AnyFunSuite {
     Seq("docs_raw", "tf", "terms", "terms_by_role", "postings").foreach { t =>
       assert(tableRows(cold, t) == tableRows(resumed, t), s"table $t differs")
     }
+
+    // the per-build packed-key split is recorded next to the manifest
+    // (round-4 verdict #5: auditable layout)
+    Seq(cold, resumed).foreach { root =>
+      val meta = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(root, "postings_meta.json")), "UTF-8")
+      assert(meta.contains("\"shardBits\"") && meta.contains("\"termBits\""),
+        s"postings_meta.json must record the derived split: $meta")
+    }
   }
 
   test("catalog seam: DirCatalog build is byte-identical to IceLite + resumable") {
