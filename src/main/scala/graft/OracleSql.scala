@@ -30,6 +30,9 @@ object OracleSql {
   /** documents/embeddings are synthetic near-orthogonal vectors; max
     * pairwise cosine ≈ 0.51, so 0.45 yields a small non-empty pair set. */
   val EmbedDupThreshold = 0.45
+  /** Query-vector ids for the batched ANN entry (one corpus scan, three
+    * simultaneous top-k's). */
+  val AnnBatchIds: Seq[Long] = Seq(0L, 1L, 2L)
 
   private val stop = Analyzer.Stopwords.map(s => s"'$s'").mkString(", ")
   private val keep = Analyzer.KeepShort.toSeq.sorted.map(s => s"'$s'").mkString(", ")
@@ -246,6 +249,56 @@ object OracleSql {
          |FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""".stripMargin
     },
 
+    // graded decontamination: fraction of a doc's distinct 3-gram
+    // shingles hitting the same eval blocklist, ⌊·10⁶⌋ integer
+    "decontaminate_overlap" -> {
+      val bl = searchspark.ops.TextOps.evalShingles(searchspark.ops.TextOps.EvalFixture)
+        .map(s => s"('$s')").mkString(", ")
+      s"""${cte()}$shingCte,
+         |bl(shingle) AS (VALUES $bl),
+         |per AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM shing GROUP BY doc_id),
+         |hits AS (SELECT doc_id, count(*)::BIGINT AS n FROM shing JOIN bl USING (shingle) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
+         |       coalesce(h.n, 0)::BIGINT AS n_contaminated,
+         |       coalesce((h.n * 1000000) // p.n_shingles, 0)::BIGINT AS contamination_e6
+         |FROM documents d LEFT JOIN per p USING (doc_id) LEFT JOIN hits h USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // unigram-LM surprisal: ⌊log₂(N/cf)⌋ via bit-length arithmetic
+    // (length(bin(x))-1) — exact integers in both engines, no ln()
+    "text_unigram_surprisal" ->
+      s"""${cte()},
+         |cfx AS (SELECT term, sum(tf)::BIGINT AS cf FROM tfx GROUP BY term),
+         |ntx AS (SELECT sum(cf)::BIGINT AS n_total FROM cfx),
+         |bitsx AS (SELECT term, (length(bin((SELECT n_total FROM ntx) // cf)) - 1)::BIGINT AS bits FROM cfx),
+         |px AS (
+         |  SELECT t.doc_id, (sum(t.tf * b.bits) * 1000000) // sum(t.tf) AS mean_surprisal_e6
+         |  FROM tfx t JOIN bitsx b USING (term) GROUP BY t.doc_id
+         |)
+         |SELECT d.doc_id, coalesce(p.mean_surprisal_e6, 0)::BIGINT AS mean_surprisal_e6
+         |FROM documents d LEFT JOIN px p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // per-doc top-3 TF-IDF keywords: score = tf·⌊log₂(N_docs/df)⌋,
+    // ties by term ascending
+    "tfidf_top_terms" ->
+      s"""${cte()},
+         |dfx AS (SELECT term, count(*)::BIGINT AS df FROM tfx GROUP BY term),
+         |ndx AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT t.doc_id, t.term,
+         |         (t.tf * (length(bin((SELECT n_docs FROM ndx) // f.df)) - 1))::BIGINT AS score
+         |  FROM tfx t JOIN dfx f USING (term)
+         |),
+         |ranked AS (
+         |  SELECT doc_id, term, score,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+         |  FROM scored
+         |)
+         |SELECT doc_id, term, score, rnk::BIGINT AS rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin,
+
     "text_quality" ->
       """SELECT doc_id, length(text)::BIGINT AS n_chars_txt,
         |       (length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) * 1000000 // length(text))::BIGINT AS alnum_ratio_e6,
@@ -372,6 +425,30 @@ object OracleSql {
         |       floor(list_inner_product(v, (SELECT v FROM q)) / (norm * (SELECT norm FROM q)) * 10000)::BIGINT AS cos_e4
         |FROM nn WHERE vec_id <> 0
         |ORDER BY cos_e4 DESC, vec_id LIMIT 10""".stripMargin,
+
+    // batched ANN: exact top-10 per query id in {0,1,2} — the oracle is
+    // the naive queries×corpus cross join; the Spark plan is one corpus
+    // scan with per-partition bounded top-k buffers
+    "ann_batch_topk" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings
+         |),
+         |nn AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm FROM n),
+         |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM nn
+         |      WHERE vec_id IN (${AnnBatchIds.mkString(", ")})),
+         |scored AS (
+         |  SELECT q.query_id, nn.vec_id,
+         |         floor(list_inner_product(nn.v, q.qv) / (nn.norm * q.qnorm) * 10000)::BIGINT AS cos_e4
+         |  FROM nn, q WHERE nn.vec_id <> q.query_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos_e4,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_e4 DESC, vec_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT query_id, vec_id, cos_e4, rnk::BIGINT AS rnk FROM ranked WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
 
     // oracle = exact brute-force top-k: the IVF index (k-means codebook
     // + persisted assignment, nProbe=6/16 buckets probed) must return

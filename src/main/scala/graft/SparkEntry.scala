@@ -59,12 +59,16 @@ object SparkEntry {
     "dedup_embed_lsh" -> ((s, d) => SimOps.embedLshPairs(SimOps.embeddings(s, d), OracleSql.EmbedDupThreshold)),
     // — similarity search —
     "ann_cosine_topk" -> ((s, d) => SimOps.annTopK(SimOps.embeddings(s, d), 0L, 10)),
+    "ann_batch_topk" -> ((s, d) => SimOps.annBatchTopK(SimOps.embeddings(s, d), OracleSql.AnnBatchIds, 10)),
     "ann_ivf" -> ((s, d) => searchspark.ops.Ivf.annIvf(s, d, 0L, 10)),
     // — text analysis —
     "text_langid" -> ((s, d) => TextOps.langId(TextOps.documents(s, d))),
     "text_pii_scrub" -> ((s, d) => TextOps.piiScrub(TextOps.documents(s, d))),
     "text_repetition" -> ((s, d) => TextOps.repetition(TextOps.documents(s, d))),
     "decontaminate" -> ((s, d) => TextOps.decontaminate(TextOps.documents(s, d), TextOps.EvalFixture)),
+    "decontaminate_overlap" -> ((s, d) => TextOps.decontaminateOverlap(TextOps.documents(s, d), TextOps.EvalFixture)),
+    "text_unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(TextOps.documents(s, d))),
+    "tfidf_top_terms" -> ((s, d) => TextOps.tfidfTopTerms(TextOps.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(TextOps.documents(s, d))),
     "text_tokcount" -> ((s, d) => TextOps.tokenCounts(TextOps.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(TextOps.documents(s, d))),

@@ -385,6 +385,94 @@ object SimOps {
       .limit(k)
   }
 
+  /** Batched brute-force ANN: exact top-k for EVERY query id in ONE
+    * corpus scan — the serving shape that matters at 10⁹ vectors, where
+    * the scan dominates and per-query invocations of [[annTopK]] would
+    * re-pay it Q times.
+    *
+    *  - all query vectors fetched in one pushed-down `vec_id IN (…)`
+    *    scan (row-group pruning, same as [[fetchVec]]) and broadcast as
+    *    one small array;
+    *  - one pass over the corpus: per row the norm accumulates once and
+    *    each query adds one fused dot loop — same index-order double
+    *    arithmetic as [[cosScoreKernel]], so cos_e4 is bit-identical to
+    *    the per-query kernel (pinned by SimPairSpec);
+    *  - each partition emits only its per-query top-k via bounded
+    *    selection buffers (exact: the global top-k is contained in the
+    *    union of per-partition top-k), so the final ranking sorts
+    *    ≤ Q·k·partitions narrow rows instead of shuffling Q·n scores —
+    *    the window below is a fan-in over a tiny set, not a skew funnel;
+    *  - ties rank (cos_e4 desc, vec_id asc), engine-deterministic.
+    *
+    * A query's own vector is excluded from its candidates (matching
+    * [[annTopK]]); other query ids remain eligible neighbors. */
+  def annBatchTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qIds = queryIds.distinct.sorted
+    val qRows = emb.filter(col("vec_id").isInCollection(qIds))
+      .select(col("vec_id"), col("embedding")).collect()
+    require(qRows.length == qIds.length,
+      s"query vec_ids ${qIds.diff(qRows.map(_.getLong(0)).toSeq).mkString(",")} not found in the embeddings relation")
+    val qs: Array[(Long, Array[Double], Double)] = qRows.map { r =>
+      val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      (r.getLong(0), v, math.sqrt(s))
+    }.sortBy(_._1)
+    val bq = spark.sparkContext.broadcast(qs)
+    val kk = k
+    val partial = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val queries = bq.value
+        val nq = queries.length
+        // per-query bounded selection buffer: worst kept element at the
+        // heap head under (cos asc, vec_id desc), so `better than head`
+        // == belongs in the top-k under (cos desc, vec_id asc)
+        val worstFirst = Ordering.by[(Long, Long), (Long, Long)] {
+          case (c, id) => (-c, id)
+        }
+        val heaps = Array.fill(nq)(
+          new scala.collection.mutable.PriorityQueue[(Long, Long)]()(worstFirst))
+        it.foreach { case (id, v) =>
+          var n2 = 0.0; var i = 0
+          while (i < v.length) { val x = v(i).toDouble; n2 += x * x; i += 1 }
+          val norm = math.sqrt(n2)
+          var j = 0
+          while (j < nq) {
+            val (qid, qv, qNorm) = queries(j)
+            if (id != qid) {
+              var dot = 0.0; i = 0
+              while (i < v.length) { dot += v(i).toDouble * qv(i); i += 1 }
+              val cos = math.floor(dot / (norm * qNorm) * 10000.0).toLong
+              val h = heaps(j)
+              if (h.size < kk) h.enqueue((cos, id))
+              else {
+                val (wc, wid) = h.head
+                if (cos > wc || (cos == wc && id < wid)) {
+                  h.dequeue(); h.enqueue((cos, id))
+                }
+              }
+            }
+            j += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, j) =>
+          val qid = queries(j)._1
+          h.iterator.map { case (cos, id) => (qid, id, cos) }
+        }
+      }
+      .toDF("query_id", "vec_id", "cos_e4")
+    partial
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_e4").desc, col("vec_id").asc))
+        .cast("long"))
+      .filter(col("rnk") <= kk)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Embedding near-dup pairs: ALL pairs with cosine ≥ threshold —
     * exact, via chunk-pair equi-join + a primitive-array dot kernel:
     *

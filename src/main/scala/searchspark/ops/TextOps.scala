@@ -364,6 +364,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Decontamination OVERLAP: per-doc fraction of distinct word-3-gram
+    * shingles that hit the eval blocklist — the graded form of
+    * [[decontaminate]] (pipelines gate on "≤ x% contaminated n-grams",
+    * not just any-hit; boolean-only flags over-drop long documents that
+    * share one idiom with an eval prompt). Same broadcast blocklist and
+    * shared shingle cache; adds one map-side-combined per-doc count —
+    * still zero corpus shuffles beyond the cached shingle build. Docs
+    * too short to shingle emit (0, 0, 0). */
+  def decontaminateOverlap(docs: DataFrame, evalTexts: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bl = broadcast(evalShingles(evalTexts).toDF("shingle"))
+    val sh = shinglesCached(docs)
+    val per = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = sh.join(bl, Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    docs.select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminated"),
+        coalesce(expr("n_hits * 1000000 div n_shingles"), lit(0L)).as("contamination_e6"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic inline "held-out eval set" for the decontamination
     * driver query: fragments lifted verbatim from testdata-style
     * generator vocabulary so some docs DO overlap, plus one fragment
@@ -446,5 +472,74 @@ object TextOps {
       .filter(col("common") * 1000000L >= lit(thrE6) * col("union_sz"))
       .select("a", "b", "jaccard_e6")
       .orderBy("a", "b")
+  }
+
+  /** Floored log2 of a positive integral column, exact in both engines:
+    * `length(bin(x)) - 1` — bit-length arithmetic, no floating log whose
+    * last-ulp could diverge across Spark/DuckDB (same discipline as the
+    * ×10⁶ integer ratios above). */
+  private def floorLog2(x: Column): Column =
+    (length(bin(x)) - 1).cast("long")
+
+  /** Unigram-LM quality score — the engine-exact analog of the CCNet /
+    * Wikipedia-LM perplexity filter a training-data pipeline gates on:
+    * per doc, the mean per-token surprisal under the corpus unigram MLE,
+    * in FLOORED BITS — surprisal(t) = ⌊log₂(N / cf_t)⌋ via [[floorLog2]]
+    * of the integer quotient, so doubles never cross the engine
+    * boundary. `mean_surprisal_e6` = Σ tf·bits · 10⁶ div dl. Low values
+    * flag boilerplate/stopword-mass docs, high values flag OOV-noise
+    * docs — the usual two-sided quality gate.
+    *
+    * Plan at 100 TB: the per-doc TF subtree is the same one every
+    * analyzer op shares; the vocabulary table (one narrow row per
+    * distinct lemma) aggregates with map-side combine and is orders of
+    * magnitude smaller than the corpus; N is a 1-row broadcast; the
+    * bits join back onto TF is shuffle-on-term of two narrow tables
+    * (AQE will broadcast the vocab side when it fits); the final
+    * per-doc agg is map-side combined. No text bytes past the tokenize
+    * scan. */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val tfs = tf(docs)
+    val cf = tfs.groupBy("term").agg(sum("tf").as("cf"))
+    val total = cf.agg(sum("cf").as("n_total"))
+    val bits = cf.crossJoin(broadcast(total))
+      .select(col("term"), floorLog2(expr("n_total div cf")).as("bits"))
+    val perDoc = tfs.join(bits, Seq("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("bits")).as("wsum"), sum("tf").as("dl"))
+      .select(col("doc_id"), expr("wsum * 1000000 div dl").as("mean_surprisal_e6"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("mean_surprisal_e6"), lit(0L)).as("mean_surprisal_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc top-k TF-IDF terms — the keyword-extraction pass that feeds
+    * tagging/routing in a data pipeline (and the reference's lemma-rank
+    * idea turned corpus-aware). score = tf · ⌊log₂(N_docs / df)⌋, exact
+    * integer in both engines; ties broken by term ascending so the
+    * row_number is engine-deterministic.
+    *
+    * Plan at 100 TB: df is a map-side-combined agg over the shared TF
+    * subtree; N_docs is a 1-row broadcast; the window partitions by
+    * doc_id, whose partition size is bounded by a single document's
+    * vocabulary — no skew funnel (contrast the df-capped shingle join
+    * in [[ngramJaccard]], where the window-by-key form was rejected). */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tfs = tf(docs)
+    val dfT = tfs.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.groupBy().agg(count(lit(1)).as("n_docs"))
+    tfs.join(dfT, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * floorLog2(expr("n_docs div df"))).as("score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "term", "score", "rnk")
+      .orderBy("doc_id", "rnk")
   }
 }

@@ -39,4 +39,74 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
     assert(out == Seq((0L, 0L, false), (1L, 1L, true), (2L, 0L, false)))
   }
+
+  test("decontaminateOverlap grades the contaminated-shingle fraction") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "clean document with its own words"), // 6 toks → 4 shingles, 0 hits
+      (1L, "prefix table scan merge suffix"), // 3 shingles, 1 hit ("table scan merge")
+      (2L, "scan merge unrelated"), // 1 shingle, 0 hits
+      (3L, "too short")) // <3 tokens → no shingles at all
+      .toDF("doc_id", "text")
+    val out = TextOps.decontaminateOverlap(docs, TextOps.EvalFixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (0L, 4L, 0L, 0L),
+      (1L, 3L, 1L, 333333L), // 1·10⁶ div 3
+      (2L, 1L, 0L, 0L),
+      (3L, 0L, 0L, 0L)))
+  }
+
+  private def fl2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+
+  test("unigramSurprisal = mean floored-log2 bits under the corpus unigram MLE") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha alpha alpha alpha alpha alpha alpha"),
+      (1L, "alpha beta gamma"),
+      (2L, "beta beta gamma delta"),
+      (3L, "")) // zero surviving terms → 0
+      .toDF("doc_id", "text")
+    // ground truth recomputed from the op's own TF stage (tokenize/lemma
+    // parity is pinned by the driver oracle; this pins the bit-length
+    // weighting and the ×10⁶ div)
+    val tfRows = TextOps.tf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val cf = tfRows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val n = cf.values.sum
+    val expected = tfRows.groupBy(_._1).view.mapValues { rows =>
+      val wsum = rows.map { case (_, t, tf) => tf * fl2(n / cf(t)) }.sum
+      val dl = rows.map(_._3).sum
+      wsum * 1000000L / dl
+    }.toMap.withDefaultValue(0L)
+    val out = TextOps.unigramSurprisal(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq(0L, 1L, 2L, 3L).map(id => (id, expected(id))))
+    // sanity on the shape: the all-one-common-term doc scores LOWER than
+    // the doc holding the corpus-rarest term
+    assert(expected(0L) < expected(2L))
+  }
+
+  test("tfidfTopTerms ranks tf·floor-log2-idf with term-asc ties, k=3") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha alpha beta gamma delta"),
+      (1L, "alpha beta"),
+      (2L, "alpha epsilon epsilon"),
+      (3L, "alpha")).toDF("doc_id", "text")
+    val tfRows = TextOps.tf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val df = tfRows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nDocs = 4L
+    val expected = tfRows.groupBy(_._1).view.mapValues { rows =>
+      rows.map { case (_, t, tf) => (t, tf * fl2(nDocs / df(t))) }
+        .sortBy { case (t, s) => (-s, t) }.take(3)
+        .zipWithIndex.map { case ((t, s), i) => (t, s, i + 1L) }.toSeq
+    }.toMap
+    val out = TextOps.tfidfTopTerms(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val got = out.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).toSeq).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, exp) => assert(got(id) == exp, s"doc $id") }
+  }
 }

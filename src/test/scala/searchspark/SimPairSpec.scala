@@ -40,6 +40,30 @@ class SimPairSpec extends AnyFunSuite {
       s"error must name the missing vec_id: ${e.getMessage}")
   }
 
+  test("annBatchTopK == per-query annTopK: bit-identical cos_e4, same ranking") {
+    val emb = SimOps.embeddings(spark, sfDir)
+    val qIds = Seq(0L, 1L, 2L)
+    val batch = SimOps.annBatchTopK(emb, qIds, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    assert(batch.keySet == qIds.toSet)
+    qIds.foreach { qid =>
+      val single = SimOps.annTopK(emb, qid, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq // (vec_id, cos_e4)
+      assert(batch(qid) == single,
+        s"batched scan diverged from the per-query kernel for query $qid")
+    }
+  }
+
+  test("annBatchTopK with a missing query vec_id fails loudly, naming the id") {
+    val emb = SimOps.embeddings(spark, sfDir)
+    val e = intercept[IllegalArgumentException] {
+      SimOps.annBatchTopK(emb, Seq(0L, -424242L), 5).collect()
+    }
+    assert(e.getMessage.contains("-424242"),
+      s"error must name the missing vec_id: ${e.getMessage}")
+  }
+
   test("embedCosinePairs chunk kernel == all-pairs Catalyst form, no cartesian") {
     val emb = SimOps.embeddings(spark, sfDir)
     val chunked = SimOps.embedCosinePairs(emb, 0.45)
