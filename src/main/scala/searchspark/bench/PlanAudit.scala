@@ -30,6 +30,22 @@ object PlanAudit {
     show("b5_tf (analyzer + TF agg)", TextOps.tf(docs))
     show("bm25_topk", TextOps.bm25TopK(docs, Seq("dup", "key", "vector"), 20))
 
+    // round-5 ops: the Scaladoc posture claims, checked against the plan —
+    // vocab/bits tables must broadcast (1-row totals via BroadcastExchange,
+    // AQE may also broadcast the vocab join side), the TF-IDF window must
+    // partition by doc_id only, and the batched-ANN query fetch must reach
+    // the parquet scan as a pushed `In(vec_id, …)` filter.
+    show("text_unigram_surprisal", TextOps.unigramSurprisal(docs))
+    show("tfidf_top_terms", TextOps.tfidfTopTerms(docs))
+    show("decontaminate_overlap",
+      TextOps.decontaminateOverlap(docs, TextOps.EvalFixture))
+    val emb = searchspark.ops.SimOps.embeddings(spark, sfDir)
+    show("ann_batch_topk (query fetch must push In(vec_id))",
+      emb.filter(col("vec_id").isInCollection(Seq(0L, 1L, 2L)))
+        .select(col("vec_id"), col("embedding")))
+    show("ann_batch_topk (full)",
+      searchspark.ops.SimOps.annBatchTopK(emb, Seq(0L, 1L, 2L), 10))
+
     // persisted-index query path: does the term filter prune the
     // postings parquet scan?
     val root = Files.createTempDirectory("planaudit").toString
