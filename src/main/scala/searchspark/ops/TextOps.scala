@@ -474,6 +474,20 @@ object TextOps {
       .orderBy("a", "b")
   }
 
+  /** Session-shared per-(doc, term) TF cache — same discipline as
+    * [[shinglesCached]]: CacheManager matches by plan equality, so every
+    * op consuming this pins ONE entry per corpus and the tokenize pass
+    * runs once per session. Load-bearing for [[unigramSurprisal]] and
+    * [[tfidfTopTerms]], which each consume TF on two branches (vocab agg
+    * + join-back) whose column pruning differs — without the cache the
+    * pruned scans don't canonicalize equal, exchange reuse never fires,
+    * and each branch re-tokenizes the corpus (the same trap
+    * [[ngramJaccard]]'s history documents for shingles). Row width is
+    * (long, short-string, long) per distinct (doc, term) — orders of
+    * magnitude narrower than the text; spills gracefully at scale. */
+  def tfCached(docs: DataFrame): DataFrame =
+    tf(docs).cache()
+
   /** Floored log2 of a positive integral column, exact in both engines:
     * `length(bin(x)) - 1` — bit-length arithmetic, no floating log whose
     * last-ulp could diverge across Spark/DuckDB (same discipline as the
@@ -490,8 +504,9 @@ object TextOps {
     * flag boilerplate/stopword-mass docs, high values flag OOV-noise
     * docs — the usual two-sided quality gate.
     *
-    * Plan at 100 TB: the per-doc TF subtree is the same one every
-    * analyzer op shares; the vocabulary table (one narrow row per
+    * Plan at 100 TB: the per-doc TF subtree is computed once and shared
+    * across both consuming branches via [[tfCached]]; the vocabulary
+    * table (one narrow row per
     * distinct lemma) aggregates with map-side combine and is orders of
     * magnitude smaller than the corpus; N is a 1-row broadcast; the
     * bits join back onto TF is shuffle-on-term of two narrow tables
@@ -499,7 +514,7 @@ object TextOps {
     * per-doc agg is map-side combined. No text bytes past the tokenize
     * scan. */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
-    val tfs = tf(docs)
+    val tfs = tfCached(docs)
     val cf = tfs.groupBy("term").agg(sum("tf").as("cf"))
     val total = cf.agg(sum("cf").as("n_total"))
     val bits = cf.crossJoin(broadcast(total))
@@ -521,14 +536,15 @@ object TextOps {
     * integer in both engines; ties broken by term ascending so the
     * row_number is engine-deterministic.
     *
-    * Plan at 100 TB: df is a map-side-combined agg over the shared TF
-    * subtree; N_docs is a 1-row broadcast; the window partitions by
+    * Plan at 100 TB: df is a map-side-combined agg over the shared
+    * [[tfCached]] table; N_docs is a 1-row broadcast; the window
+    * partitions by
     * doc_id, whose partition size is bounded by a single document's
     * vocabulary — no skew funnel (contrast the df-capped shingle join
     * in [[ngramJaccard]], where the window-by-key form was rejected). */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tfs = tf(docs)
+    val tfs = tfCached(docs)
     val dfT = tfs.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.groupBy().agg(count(lit(1)).as("n_docs"))
     tfs.join(dfT, Seq("term"))
