@@ -73,6 +73,34 @@ class PlanGuardSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("surprisal/tfidf final plans: TF pipeline materialized once (cache scan)") {
+    // Both ops consume the per-(doc, term) TF table on two branches
+    // (vocabulary agg + join-back) whose column pruning differs, so the
+    // branches never canonicalize equal and exchange reuse cannot fire —
+    // TextOps.tfCached pins ONE cache entry instead. Same contract as
+    // the shingle-cache pin above: every consumer branch reads the cache
+    // (InMemoryTableScan) and NO Generate (tokenize/explode) node
+    // appears above the cache boundary.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = TextOps.documents(spark, sfDir)
+      Seq(
+        "unigramSurprisal" -> TextOps.unigramSurprisal(docs),
+        "tfidfTopTerms" -> TextOps.tfidfTopTerms(docs)
+      ).foreach { case (name, q) =>
+        q.collect()
+        val exec = q.queryExecution.executedPlan
+        val p = exec.toString
+        assert(p.contains("InMemoryTableScan"),
+          s"$name: both TF branches must read the shared TF cache:\n$p")
+        assert(exec.collect {
+          case g: org.apache.spark.sql.execution.GenerateExec => g
+        }.isEmpty,
+          s"$name: tokenize/explode must not re-run above the TF cache:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("engine TF + segment plans: TF narrow, one segment exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
