@@ -55,6 +55,27 @@ class SimPairSpec extends AnyFunSuite {
     }
   }
 
+  test("annBatchTopK: duplicate query ids collapse; k past corpus size underfills") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 4-vector corpus → each query has only 3 candidates; k=10 must
+    // return exactly 3 rows per query, ranked 1..3, not pad or throw
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val out = SimOps.annBatchTopK(emb, Seq(2L, 0L, 2L, 0L), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val byQuery = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(byQuery.keySet == Set(0L, 2L), s"duplicate ids must collapse: $byQuery")
+    assert(byQuery(0L) == Seq(1L, 2L, 3L) && byQuery(2L) == Seq(1L, 2L, 3L),
+      s"each query must rank exactly its 3 candidates: $byQuery")
+    // and the nearest neighbor is the geometrically obvious one
+    val top0 = out.filter(t => t._1 == 0L && t._3 == 1L).head._2
+    assert(top0 == 1L, s"query 0's nearest must be vec 1, got $top0")
+  }
+
   test("annBatchTopK with a missing query vec_id fails loudly, naming the id") {
     val emb = SimOps.embeddings(spark, sfDir)
     val e = intercept[IllegalArgumentException] {
