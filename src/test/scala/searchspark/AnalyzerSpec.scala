@@ -169,7 +169,10 @@ class AnalyzerSpec extends AnyFunSuite {
     val totalForms = perLexeme.map(_._4).sum
     val acc = correct.toDouble / totalForms
     info(f"held-out form-level stem consistency: $correct/$totalForms = $acc%.3f")
-    assert(acc >= 0.95, f"RU tail accuracy regressed: $acc%.3f < 0.95")
+    // measured 173/178 = 0.972 — the residual failures are consonant
+    // mutation (вижу → виж vs вид) and the documented -ал/-ел noun tax,
+    // both genuinely lexicon-class; the floor pins the rules' real level
+    assert(acc >= 0.97, f"RU tail accuracy regressed: $acc%.3f < 0.97")
     // purity: no two held-out lexemes may collapse onto one stem
     val reps = perLexeme.map(_._2)
     assert(reps.distinct.size == reps.size,
