@@ -381,6 +381,35 @@ object OracleSql {
          |SELECT id::BIGINT AS doc_id, min(rep)::BIGINT AS cluster_rep
          |FROM comp GROUP BY id ORDER BY doc_id""".stripMargin,
 
+    // sessionization over the events table: per user, a new session
+    // when the gap to the previous event exceeds 4 h; all comparisons
+    // and sums in epoch-microsecond / value×100 integers (epoch_us here
+    // == Spark's unix_micros under the pinned UTC session timezone)
+    "events_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |         floor(value * 100)::BIGINT AS value_e2
+         |  FROM events
+         |),
+         |f AS (
+         |  SELECT user_id, event_id, ts_us, value_e2,
+         |         CASE WHEN lag(ts_us) OVER w IS NULL
+         |                OR ts_us - lag(ts_us) OVER w > ${searchspark.ops.EventOps.DefaultGapUs}
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |),
+         |s AS (
+         |  SELECT user_id, ts_us, value_e2,
+         |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)::BIGINT AS session_seq
+         |  FROM f
+         |)
+         |SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+         |       min(ts_us)::BIGINT AS start_us, max(ts_us)::BIGINT AS end_us,
+         |       (max(ts_us) - min(ts_us))::BIGINT AS duration_us,
+         |       sum(value_e2)::BIGINT AS value_e2_sum
+         |FROM s GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_seq""".stripMargin,
+
     "sample_split" ->
       """SELECT doc_id, bucket,
         |       CASE WHEN bucket < 90 THEN 'train'

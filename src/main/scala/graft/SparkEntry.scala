@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import searchspark.ops.{MediaOps, SimOps, TextOps}
+import searchspark.ops.{EventOps, MediaOps, SimOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -53,6 +53,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => SimOps.minhashLsh(TextOps.documents(s, d))),
     "dedup_clusters" -> ((s, d) => SimOps.dedupClusters(SimOps.minhashCandidatePairs(TextOps.documents(s, d)))),
     "sample_split" -> ((s, d) => TextOps.sampleSplit(TextOps.documents(s, d))),
+    // — event-log sessionization (the events table's pipeline op) —
+    "events_sessionize" -> ((s, d) => EventOps.sessionize(EventOps.events(s, d))),
     "text_simhash" -> ((s, d) => SimOps.simhash(TextOps.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => SimOps.simhashPairs(TextOps.documents(s, d))),
     "dedup_embed_cosine" -> ((s, d) => SimOps.embedCosinePairs(SimOps.embeddings(s, d), OracleSql.EmbedDupThreshold)),

@@ -2,7 +2,7 @@ package searchspark
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import searchspark.ops.TextOps
+import searchspark.ops.{EventOps, TextOps}
 
 /** PII scrub + decontamination behavior on crafted fixtures (the
   * testdata corpus contains no PII, so the driver query only pins
@@ -55,6 +55,50 @@ class PipelineOpsSpec extends AnyFunSuite {
       (1L, 3L, 1L, 333333L), // 1·10⁶ div 3
       (2L, 1L, 0L, 0L),
       (3L, 0L, 0L, 0L)))
+  }
+
+  test("sessionize: gap splits, tie order, integer sums, one exchange") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val H = 3600L * 1000L // one hour in millis
+    def ts(ms: Long) = new Timestamp(ms)
+    // user 1: events at 0h, 1h, 9h (gap 8h > 4h → 2 sessions);
+    // user 2: two events at the SAME timestamp (tie → event_id order,
+    //         one session) then 100h (new session);
+    // user 3: single event
+    val ev = Seq(
+      (10L, ts(0L), 1L, "view", 1.005, "{}"),
+      (11L, ts(1L * H), 1L, "click", 2.0, "{}"),
+      (12L, ts(9L * H), 1L, "view", 0.4, "{}"),
+      (20L, ts(5L * H), 2L, "view", 10.0, "{}"),
+      (21L, ts(5L * H), 2L, "error", 0.111, "{}"),
+      (22L, ts(100L * H), 2L, "view", 3.0, "{}"),
+      (30L, ts(7L * H), 3L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventOps.sessionize(ev)
+    val out = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(5), r.getLong(6)))
+    def us(h: Long) = h * 3600L * 1000000L
+    assert(out.toSeq == Seq(
+      // floor(1.005*100)=100 (double 1.005*100 = 100.49...), floor(2.0*100)=200
+      (1L, 1L, 2L, us(0), us(1), 300L),
+      (1L, 2L, 1L, us(9), 0L, 40L),
+      (2L, 1L, 2L, us(5), 0L, 1011L), // floor(10*100)+floor(0.111*100)=1000+11
+      (2L, 2L, 1L, us(100), 0L, 300L),
+      (3L, 1L, 1L, us(7), 0L, 0L)))
+    // scale pin: HashPartitioning(user_id) from the window must satisfy
+    // the (user_id, session_seq) aggregation — exactly ONE exchange
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = EventOps.sessionize(ev).queryExecution.executedPlan
+      val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
+      // the final orderBy adds a range exchange; only ONE hash exchange
+      // (the window's) may exist
+      val hashShuffles = shuffles.filter(_.outputPartitioning.toString.contains("hashpartitioning"))
+      assert(hashShuffles.size == 1,
+        s"sessionize must reuse the window's partitioning for the agg:\n$exec")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   private def fl2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
