@@ -381,6 +381,22 @@ object OracleSql {
          |SELECT id::BIGINT AS doc_id, min(rep)::BIGINT AS cluster_rep
          |FROM comp GROUP BY id ORDER BY doc_id""".stripMargin,
 
+    // tumbling-window rollup over events: integer epoch-micros
+    // bucketing (ts_us // window) so both engines land every event in
+    // the same bucket exactly
+    "events_windowed" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |         event_type, user_id, floor(value * 100)::BIGINT AS value_e2
+        |  FROM events
+        |)
+        |SELECT window_start_us::BIGINT AS window_start_us, event_type,
+        |       count(*)::BIGINT AS n_events,
+        |       count(DISTINCT user_id)::BIGINT AS n_users,
+        |       sum(value_e2)::BIGINT AS value_e2_sum
+        |FROM e GROUP BY window_start_us, event_type
+        |ORDER BY window_start_us, event_type""".stripMargin,
+
     // sessionization over the events table: per user, a new session
     // when the gap to the previous event exceeds 4 h; all comparisons
     // and sums in epoch-microsecond / value×100 integers (epoch_us here

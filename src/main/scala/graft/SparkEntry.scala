@@ -55,6 +55,7 @@ object SparkEntry {
     "sample_split" -> ((s, d) => TextOps.sampleSplit(TextOps.documents(s, d))),
     // — event-log sessionization (the events table's pipeline op) —
     "events_sessionize" -> ((s, d) => EventOps.sessionize(EventOps.events(s, d))),
+    "events_windowed" -> ((s, d) => EventOps.windowedCounts(EventOps.events(s, d))),
     "text_simhash" -> ((s, d) => SimOps.simhash(TextOps.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => SimOps.simhashPairs(TextOps.documents(s, d))),
     "dedup_embed_cosine" -> ((s, d) => SimOps.embedCosinePairs(SimOps.embeddings(s, d), OracleSql.EmbedDupThreshold)),

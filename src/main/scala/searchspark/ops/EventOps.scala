@@ -26,6 +26,36 @@ object EventOps {
   /** Default session gap: 4 hours, in microseconds. */
   val DefaultGapUs: Long = 4L * 3600L * 1000000L
 
+  /** Tumbling-window temporal rollup: per (window, event_type), the
+    * event count, distinct-user count, and integer value sum. The
+    * window is pure integer arithmetic — `bucket = ts_us div windowUs`,
+    * start = bucket · windowUs — so Spark and DuckDB agree exactly
+    * (Spark's `window()` function and DuckDB's `time_bucket` would each
+    * round through their own timestamp types; integer division of epoch
+    * micros sidesteps both).
+    *
+    * Plan at 100 TB: one map-side-combined aggregation keyed by
+    * (window_start, event_type) — bounded cardinality (buckets ×
+    * types), no skew (each key aggregates its slice of the scan). The
+    * distinct-user count adds the standard two-phase expand; swap in an
+    * approx sketch when exactness isn't required. */
+  def windowedCounts(ev: DataFrame, windowUs: Long = 3600L * 1000000L): DataFrame =
+    ev.select(
+      unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+      col("event_type"),
+      col("user_id"),
+      floor(col("value") * 100).cast("long").as("value_e2"))
+      // integer `div`, never double division: at epoch-micro magnitudes
+      // a double quotient can land on the wrong side of a bucket edge
+      .select((expr(s"ts_us div ${windowUs}L") * windowUs).as("window_start_us"),
+        col("event_type"), col("user_id"), col("value_e2"))
+      .groupBy("window_start_us", "event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        sum("value_e2").as("value_e2_sum"))
+      .orderBy("window_start_us", "event_type")
+
   /** Sessionize an event log: per user, a new session starts at the
     * first event and whenever the gap to the previous event exceeds
     * `gapUs`. Emits one row per session with event count, exact start/

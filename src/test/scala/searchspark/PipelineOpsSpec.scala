@@ -101,6 +101,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("windowedCounts: integer bucketing, distinct users, edge event") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val H = 3600L * 1000L
+    def ts(ms: Long) = new Timestamp(ms)
+    val ev = Seq(
+      (1L, ts(0L), 1L, "view", 1.0, "{}"),
+      (2L, ts(30L * 60L * 1000L), 1L, "view", 2.0, "{}"), // same hour, same user
+      (3L, ts(H - 1L), 2L, "view", 0.5, "{}"), // last ms of hour 0
+      (4L, ts(H), 2L, "view", 4.0, "{}"), // exactly on the boundary → hour 1
+      (5L, ts(H + 1L), 3L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.windowedCounts(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val hourUs = 3600L * 1000000L
+    assert(out.toSeq == Seq(
+      (0L, "view", 3L, 2L, 350L), // users {1,2}; 100+200+50
+      (hourUs, "click", 1L, 1L, 100L),
+      (hourUs, "view", 1L, 1L, 400L)))
+  }
+
   private def fl2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
 
   test("unigramSurprisal = mean floored-log2 bits under the corpus unigram MLE") {
